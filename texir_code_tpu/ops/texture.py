@@ -1,0 +1,291 @@
+"""Differentiable texture sampling: bilinear, grid_sample, mip pyramids.
+
+This is the TPU replacement for the two samplers the reference leans on:
+
+  * ``nvdiffrast dr.texture(..., 'linear-mipmap-linear', max_mip_level)`` —
+    the *differentiable* path into the material / IrT atlases (reference
+    models/mat_nvdiffrast.py:128-139).  Here: ``build_mip_pyramid`` +
+    ``texture_sample``.  The pyramid is built *inside* the jitted step by
+    2×2 box filtering, which XLA differentiates for free — gradients at any
+    mip level flow back to the base atlas through the pooling, so no custom
+    scatter VJP is needed for correctness (the gather backward is XLA
+    scatter-add; a segment-sum Pallas VJP can be swapped in for speed).
+  * ``F.grid_sample(..., mode, padding_mode='border', align_corners=False)``
+    — used for TBL atlas lookups (reference models/mat_nvdiffrast.py:316) and
+    the cube↔pano warps (utils/Cube2Pano.py:136).  Here: ``grid_sample``
+    with identical coordinate conventions (x↔width first, [-1,1] range,
+    half-texel align_corners=False mapping).
+
+Texture layout convention: ``tex[row, col, channel]`` with uv=(u,v) mapping
+to ``col = u·W - 0.5``, ``row = v·H - 0.5`` (v=0 is row 0).  Loaders are
+responsible for any vertical flips so that device code never branches.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# index helpers
+# ---------------------------------------------------------------------------
+
+
+def _wrap_index(i: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.mod(i, n)
+
+
+def _clamp_index(i: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.clip(i, 0, n - 1)
+
+
+def _gather2d(tex: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """tex[row, col] for arbitrary-shaped integer index arrays.
+
+    Flattens to a single 1D gather — the layout XLA lowers best on TPU."""
+    h, w = tex.shape[0], tex.shape[1]
+    flat = tex.reshape(h * w, -1)
+    idx = row * w + col
+    out = jnp.take(flat, idx.reshape(-1), axis=0)
+    return out.reshape(idx.shape + (tex.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# bilinear fetch
+# ---------------------------------------------------------------------------
+
+
+def bilinear_sample(
+    tex: jnp.ndarray,
+    uv: jnp.ndarray,
+    boundary: str = "wrap",
+) -> jnp.ndarray:
+    """Bilinear texture fetch at uv ∈ [0,1]² (nvdiffrast convention).
+
+    Args:
+        tex: [H, W, C].
+        uv: [..., 2] with uv[..., 0]=u (width), uv[..., 1]=v (height).
+        boundary: 'wrap' (nvdiffrast default), 'clamp' (border), or 'zero'.
+    Returns:
+        [..., C]
+    """
+    h, w = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    if boundary == "wrap":
+        xs = (_wrap_index(x0i, w), _wrap_index(x0i + 1, w))
+        ys = (_wrap_index(y0i, h), _wrap_index(y0i + 1, h))
+        weight = None
+    elif boundary == "clamp":
+        xs = (_clamp_index(x0i, w), _clamp_index(x0i + 1, w))
+        ys = (_clamp_index(y0i, h), _clamp_index(y0i + 1, h))
+        weight = None
+    elif boundary == "zero":
+        inb = lambda i, n: (i >= 0) & (i < n)
+        xs = (_clamp_index(x0i, w), _clamp_index(x0i + 1, w))
+        ys = (_clamp_index(y0i, h), _clamp_index(y0i + 1, h))
+        weight = (
+            (inb(x0i, w), inb(x0i + 1, w)),
+            (inb(y0i, h), inb(y0i + 1, h)),
+        )
+    else:
+        raise ValueError(f"unknown boundary mode: {boundary!r}")
+
+    t00 = _gather2d(tex, ys[0], xs[0])
+    t01 = _gather2d(tex, ys[0], xs[1])
+    t10 = _gather2d(tex, ys[1], xs[0])
+    t11 = _gather2d(tex, ys[1], xs[1])
+    if weight is not None:
+        (wx0, wx1), (wy0, wy1) = weight
+        t00 = t00 * (wx0 & wy0)[..., None]
+        t01 = t01 * (wx1 & wy0)[..., None]
+        t10 = t10 * (wx0 & wy1)[..., None]
+        t11 = t11 * (wx1 & wy1)[..., None]
+
+    top = t00 * (1 - fx) + t01 * fx
+    bot = t10 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def nearest_sample(
+    tex: jnp.ndarray, uv: jnp.ndarray, boundary: str = "clamp"
+) -> jnp.ndarray:
+    """Nearest-neighbor fetch at uv ∈ [0,1]²."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    y = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    if boundary == "wrap":
+        x, y = _wrap_index(x, w), _wrap_index(y, h)
+    else:
+        x, y = _clamp_index(x, w), _clamp_index(y, h)
+    return _gather2d(tex, y, x)
+
+
+# ---------------------------------------------------------------------------
+# torch-style grid_sample (for warp/TBL parity)
+# ---------------------------------------------------------------------------
+
+
+def grid_sample(
+    tex: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    padding_mode: str = "border",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """torch.nn.functional.grid_sample semantics on an [H, W, C] texture.
+
+    Args:
+        tex: [H, W, C].
+        grid: [..., 2]; grid[..., 0]=x ∈ [-1,1] (width), grid[..., 1]=y (height).
+        mode: 'bilinear' or 'nearest'.
+        padding_mode: 'border' or 'zeros'.
+        align_corners: False → pixel center mapping ((g+1)·size - 1)/2.
+    Returns:
+        [..., C]
+    """
+    h, w = tex.shape[0], tex.shape[1]
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (w - 1)
+        y = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1.0) * w - 1.0) * 0.5
+        y = ((gy + 1.0) * h - 1.0) * 0.5
+
+    if mode == "nearest":
+        # torch rounds to nearest (round-half-away from floor(x+0.5))
+        xi = jnp.floor(x + 0.5).astype(jnp.int32)
+        yi = jnp.floor(y + 0.5).astype(jnp.int32)
+        if padding_mode == "border":
+            return _gather2d(tex, _clamp_index(yi, h), _clamp_index(xi, w))
+        inb = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))[..., None]
+        out = _gather2d(tex, _clamp_index(yi, h), _clamp_index(xi, w))
+        return out * inb
+
+    # bilinear — express in uv space and reuse bilinear_sample
+    u = (x + 0.5) / w
+    v = (y + 0.5) / h
+    uv = jnp.stack([u, v], axis=-1)
+    if padding_mode == "border":
+        return bilinear_sample(tex, uv, boundary="clamp")
+    return bilinear_sample(tex, uv, boundary="zero")
+
+
+# ---------------------------------------------------------------------------
+# mip pyramid
+# ---------------------------------------------------------------------------
+
+
+def build_mip_pyramid(
+    tex: jnp.ndarray, max_levels: Optional[int] = None
+) -> List[jnp.ndarray]:
+    """Box-filtered mip chain [base, base/2, ...] (nvdiffrast's mip build).
+
+    Differentiable: each level is a 2×2 mean of the previous.  Non-square and
+    non-power-of-two sizes stop when a dimension becomes odd or 1.
+    """
+    levels = [tex]
+    while True:
+        cur = levels[-1]
+        h, w = cur.shape[0], cur.shape[1]
+        if h < 2 or w < 2 or h % 2 or w % 2:
+            break
+        if max_levels is not None and len(levels) >= max_levels + 1:
+            break
+        nxt = cur.reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3))
+        levels.append(nxt)
+    return levels
+
+
+def compute_lod(
+    uv_img: jnp.ndarray, tex_h: int, tex_w: int
+) -> jnp.ndarray:
+    """Per-pixel mip LOD from image-space finite differences of uv.
+
+    Equivalent of nvdiffrast's rast_db→texd path: nvdiffrast computes
+    analytic screen-space uv derivatives from the rasterizer's barycentric
+    differentials; with ray-cast G-buffers the same quantity is the
+    neighbouring-pixel uv difference.  Edge pixels replicate their neighbor.
+
+    Args:
+        uv_img: [..., H, W, 2] uv per pixel.
+    Returns:
+        [..., H, W] LOD = log2(max texel footprint), clamped at 0.
+    """
+    du_x = jnp.diff(uv_img, axis=-2, append=uv_img[..., :, -1:, :])
+    du_x = du_x.at[..., :, -1, :].set(du_x[..., :, -2, :])
+    du_y = jnp.diff(uv_img, axis=-3, append=uv_img[..., -1:, :, :])
+    du_y = du_y.at[..., -1, :, :].set(du_y[..., -2, :, :])
+    scale = jnp.asarray([tex_w, tex_h], uv_img.dtype)
+    fx = jnp.linalg.norm(du_x * scale, axis=-1)
+    fy = jnp.linalg.norm(du_y * scale, axis=-1)
+    footprint = jnp.maximum(jnp.maximum(fx, fy), 1e-12)
+    return jnp.maximum(jnp.log2(footprint), 0.0)
+
+
+def texture_sample(
+    pyramid: Sequence[jnp.ndarray],
+    uv: jnp.ndarray,
+    lod: Optional[jnp.ndarray] = None,
+    boundary: str = "wrap",
+) -> jnp.ndarray:
+    """Sample a mip pyramid with trilinear (linear-mipmap-linear) filtering.
+
+    nvdiffrast dr.texture equivalent (reference models/mat_nvdiffrast.py:131).
+
+    Args:
+        pyramid: list of [H/2^k, W/2^k, C] levels from build_mip_pyramid.
+        uv: [..., 2] in [0,1].
+        lod: [...] mip level per sample; None → bilinear on the base level.
+        boundary: texel addressing mode.
+    Returns:
+        [..., C]
+    """
+    if lod is None or len(pyramid) == 1:
+        return bilinear_sample(pyramid[0], uv, boundary)
+
+    n_levels = len(pyramid)
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    lo = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - lo.astype(lod.dtype))[..., None]
+
+    # sample every level and blend with one-hot weights: static shapes, no
+    # data-dependent control flow.  Cost is n_levels gathers; for the
+    # common case (few distinct LODs per image) XLA hoists the gathers well,
+    # and the pyramid tail levels are tiny.
+    out_lo = jnp.zeros(uv.shape[:-1] + (pyramid[0].shape[-1],), pyramid[0].dtype)
+    out_hi = jnp.zeros_like(out_lo)
+    for k in range(n_levels):
+        sk = bilinear_sample(pyramid[k], uv, boundary)
+        out_lo = jnp.where((lo == k)[..., None], sk, out_lo)
+        out_hi = jnp.where((jnp.minimum(lo + 1, n_levels - 1) == k)[..., None], sk, out_hi)
+    return out_lo * (1.0 - frac) + out_hi * frac
+
+
+def texture_sample_mipmapped(
+    tex: jnp.ndarray,
+    uv_img: jnp.ndarray,
+    max_mip_level: Optional[int] = None,
+    boundary: str = "wrap",
+) -> jnp.ndarray:
+    """Convenience: build pyramid + per-pixel LOD + trilinear sample.
+
+    Args:
+        tex: [H, W, C] base texture.
+        uv_img: [..., Himg, Wimg, 2] image-shaped uv map (LOD needs the image
+            neighborhood structure).
+    """
+    pyramid = build_mip_pyramid(tex, max_levels=max_mip_level)
+    lod = compute_lod(uv_img, tex.shape[0], tex.shape[1])
+    return texture_sample(pyramid, uv_img, lod, boundary)
