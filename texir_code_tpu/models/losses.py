@@ -1,0 +1,501 @@
+"""Loss library for all stages (reference models/loss.py, re-derived for TPU).
+
+Key structural change from the reference: the reference materializes
+[47, 6, h, w, 1] per-class mask tensors and loops classes in Python with
+``.item()`` calls (models/loss.py:256-272).  Here segmentation is carried as
+an int32 class-id image and every per-class statistic (means, counts,
+quantiles) is a segment reduction — O(pixels) memory, fully jit-able, no
+host sync.  The loss *values* match the reference's formulas exactly
+(normalizations included), verified against torch oracles in
+tests/test_losses.py.
+
+Contents:
+  * ``IRFLoss``              — reference models/loss.py:28-52
+  * ``RenderLoss`` stages 0/1/2 — :55-115
+  * ``SegLoss`` modes 0/1/2  — :214-295 (class-mean pull, highlight-quantile
+                               roughness propagation, per-room variant)
+  * ``TVLoss``               — :176-212 (eroded-mask total variation)
+  * ``ssim`` / ``PSNR``      — :117-140 (pytorch_msssim-compatible SSIM)
+  * ``InvLoss``/``NeILFLoss``/``NvDiffRecLoss`` — :297-466 (baseline heads)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from texir_code_tpu.ops.sampling import TINY_NUMBER
+from texir_code_tpu.ops.shading import hdr_scale, mse_to_psnr
+
+
+# ---------------------------------------------------------------------------
+# elementary losses
+# ---------------------------------------------------------------------------
+
+
+def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def irf_loss(gt: jnp.ndarray, pred: jnp.ndarray, loss_type: str = "L1") -> jnp.ndarray:
+    """NIrF loss: |hdr_scale(gt) - pred| — the MLP predicts in log domain
+    (reference models/loss.py:41-52)."""
+    fn = l1 if loss_type == "L1" else l2
+    return fn(hdr_scale(gt), pred)
+
+
+class IRFLoss:
+    """Callable wrapper matching the reference class interface."""
+
+    def __init__(self, loss_type: str = "L1"):
+        self.loss_type = loss_type
+
+    def __call__(self, res: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        return irf_loss(res["gt"], res["pred"], self.loss_type)
+
+
+# ---------------------------------------------------------------------------
+# SSIM (pytorch_msssim-compatible defaults)
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / g.sum()
+
+
+def _blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Separable gaussian blur over [N, H, W, C] (valid padding)."""
+    k = kernel.shape[0]
+    kh = kernel.reshape(1, k, 1, 1)
+    kw = kernel.reshape(k, 1, 1, 1)
+    c = img.shape[-1]
+
+    def conv(x, ker, dims):
+        return jax.lax.conv_general_dilated(
+            x, jnp.tile(ker, (1, 1, 1, c)),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    out = conv(img, kh, None)
+    out = conv(out, kw, None)
+    return out
+
+
+def ssim(
+    a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
+    nonnegative: bool = True,
+) -> jnp.ndarray:
+    """Mean SSIM over [N, H, W, C] images (11×11 gaussian, K=(0.01, 0.03))."""
+    kernel = _gaussian_kernel()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a = _blur(a, kernel)
+    mu_b = _blur(b, kernel)
+    mu_aa = _blur(a * a, kernel)
+    mu_bb = _blur(b * b, kernel)
+    mu_ab = _blur(a * b, kernel)
+    var_a = mu_aa - mu_a ** 2
+    var_b = mu_bb - mu_b ** 2
+    cov = mu_ab - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)
+    )
+    if nonnegative:
+        s = jnp.maximum(s, 0.0)
+    return jnp.mean(s)
+
+
+def psnr_loss(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    return -mse_to_psnr(l2(gt, pred))
+
+
+def ssim_loss(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 - ssim(gt, pred)
+
+
+# ---------------------------------------------------------------------------
+# segment helpers
+# ---------------------------------------------------------------------------
+
+
+def _segment_mean(
+    values: jnp.ndarray, seg: jnp.ndarray, num_classes: int, weight: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-class weighted mean of [P, C] values with [P] int ids.
+
+    Returns (means [num_classes, C], counts [num_classes, 1])."""
+    w = weight.reshape(-1, 1)
+    v = values.reshape(w.shape[0], -1)
+    sums = jnp.zeros((num_classes, v.shape[-1])).at[seg.reshape(-1)].add(v * w)
+    counts = jnp.zeros((num_classes, 1)).at[seg.reshape(-1)].add(w)
+    return sums / (counts + TINY_NUMBER), counts
+
+
+def masked_quantile_per_class(
+    values: jnp.ndarray,
+    seg: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_classes: int,
+    q: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-class q-quantile of `values` restricted to mask>0 pixels.
+
+    torch.quantile-compatible (linear interpolation), vectorized over classes
+    with one sort (replaces the reference's per-class Python loop,
+    models/loss.py:256-272).
+
+    Args:
+        values: [P] scalars.
+        seg: [P] int32 class ids in [0, num_classes).
+        mask: [P] 0/1 selection.
+        q: [num_classes] per-class quantile levels.
+    Returns:
+        (quantiles [num_classes] — 0 where a class has no selected pixels,
+         counts [num_classes]).
+    """
+    p = values.shape[0]
+    valid = mask > 0
+    big = jnp.float32(3.4e38)
+    # invalid entries get a huge key so they sort to the back of their class
+    key = jnp.where(valid, values, big)
+    # lexsort by (class, value) via two stable sorts
+    idx1 = jnp.argsort(key, stable=True)
+    seg1 = jnp.take(seg, idx1)
+    idx2 = jnp.argsort(seg1, stable=True)
+    perm = jnp.take(idx1, idx2)
+    sorted_vals = jnp.take(key, perm)           # grouped by class, ascending
+
+    counts = jnp.zeros((num_classes,)).at[seg].add(valid.astype(jnp.float32))
+    starts = jnp.concatenate([jnp.zeros(1), jnp.cumsum(jnp.bincount(seg, length=num_classes))])[:-1]
+
+    pos = q * jnp.maximum(counts - 1.0, 0.0)
+    lo = jnp.floor(pos)
+    frac = pos - lo
+    idx_lo = (starts + lo).astype(jnp.int32)
+    idx_hi = (starts + jnp.minimum(lo + 1, jnp.maximum(counts - 1.0, 0.0))).astype(jnp.int32)
+    idx_lo = jnp.clip(idx_lo, 0, p - 1)
+    idx_hi = jnp.clip(idx_hi, 0, p - 1)
+    v_lo = jnp.take(sorted_vals, idx_lo)
+    v_hi = jnp.take(sorted_vals, idx_hi)
+    quant = v_lo * (1 - frac) + v_hi * frac
+    return jnp.where(counts > 0, quant, 0.0), counts
+
+
+# ---------------------------------------------------------------------------
+# SegLoss
+# ---------------------------------------------------------------------------
+
+
+def seg_loss(
+    img: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    num_classes: int,
+    mode: int,
+    img_womipmap: Optional[jnp.ndarray] = None,
+    highlight: Optional[jnp.ndarray] = None,
+    valid_mask: Optional[jnp.ndarray] = None,
+    room_id: Optional[jnp.ndarray] = None,
+    num_rooms: int = 1,
+    quantile_delta: float = 0.4,
+    override_class: int = 43,
+    override_value: float = 0.8,
+) -> jnp.ndarray:
+    """Segmentation-prior smoothness loss (reference models/loss.py:214-295).
+
+    mode 0 (albedo init): pull each pixel's value toward its seg-class mean;
+        L1 averaged over num_classes × pixels × channels (the reference's
+        elementwise L1 over the [47, 6, h·w, c] expansion — pixels outside a
+        class contribute zero but still count in the denominator).
+    mode 1 (roughness propagation): per class, target = the δ-quantile of the
+        *no-mipmap* roughness inside that class's highlight region (detached);
+        class `override_class` gets a fixed target; classes with an empty
+        highlight get weight 0; the residual is evaluated on seg∖highlight.
+    mode 2 (joint): class means computed per (room × class).
+
+    Args:
+        img: [F, H, W, C] predicted quantity (albedo or roughness).
+        seg_id: [F, H, W] int32 class ids in [0, num_classes).
+        img_womipmap: mode-1 only, non-mipmapped roughness [F, H, W, C].
+        highlight: [F, H, W, 1] VHL highlight mask (floor_max in the
+            reference; its per-class versions are highlight ∧ seg==c).
+        valid_mask: [F, H, W, 1] raster coverage (empty_mask).
+        room_id: [F, H, W] int32 room ids for mode 2.
+    """
+    f, h, w, c = img.shape
+    pix = f * h * w
+    flat = img.reshape(pix, c)
+    seg = seg_id.reshape(pix).astype(jnp.int32)
+    denom = num_classes * pix * c  # the reference's L1-mean denominator
+
+    if mode == 0:
+        means, _ = _segment_mean(flat, seg, num_classes, jnp.ones((pix,)))
+        per_pixel = jnp.abs(flat - jnp.take(means, seg, axis=0))
+        return jnp.sum(per_pixel) / denom
+
+    if mode == 1:
+        assert img_womipmap is not None and highlight is not None
+        hi = (highlight.reshape(pix) > 0).astype(jnp.float32)
+        if valid_mask is not None:
+            hi = hi * (valid_mask.reshape(pix) > 0).astype(jnp.float32)
+        qs = jnp.full((num_classes,), quantile_delta)
+        target, counts = masked_quantile_per_class(
+            jax.lax.stop_gradient(img_womipmap.reshape(pix, c)[:, 0]),
+            seg, hi, num_classes, qs,
+        )
+        target = target.at[override_class].set(
+            jnp.where(counts[override_class] > 0, override_value, 0.0)
+        )
+        # residual on seg-minus-highlight pixels, weighted by the class's
+        # highlight occupancy num/(num+ε) (≈1 when the class has highlights)
+        occupancy = counts / (counts + TINY_NUMBER)
+        in_region = 1.0 - (highlight.reshape(pix) > 0).astype(jnp.float32)
+        wgt = in_region * jnp.take(occupancy, seg)
+        per_pixel = jnp.abs(flat[:, 0] - jnp.take(target, seg)) * wgt
+        return jnp.sum(per_pixel) * c / denom
+
+    if mode == 2:
+        assert room_id is not None
+        joint = room_id.reshape(pix).astype(jnp.int32) * num_classes + seg
+        n_joint = num_rooms * num_classes
+        means, _ = _segment_mean(flat, joint, n_joint, jnp.ones((pix,)))
+        per_pixel = jnp.abs(flat - jnp.take(means, joint, axis=0))
+        return jnp.sum(per_pixel) / (num_rooms * denom)
+
+    raise ValueError(f"unknown seg_loss mode: {mode}")
+
+
+# ---------------------------------------------------------------------------
+# TV loss with eroded per-class masks
+# ---------------------------------------------------------------------------
+
+
+def _erode(mask: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+    """Min-pool erosion over [..., H, W] (the reference's -maxpool(-x))."""
+    pad = k // 2
+    return -jax.lax.reduce_window(
+        -mask, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) * (mask.ndim - 2) + (k, k),
+        window_strides=(1,) * mask.ndim,
+        padding=[(0, 0)] * (mask.ndim - 2) + [(pad, pad), (pad, pad)],
+    )
+
+
+def tv_loss(
+    img: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    num_classes: int,
+    weight: float = 0.01,
+) -> jnp.ndarray:
+    """Eroded-seg-masked total variation (reference models/loss.py:176-212).
+
+    Differences are counted only where a 5×5 erosion of the pixel's class
+    mask stays inside the class — i.e. both ends of the finite difference
+    and their neighborhood share the class.
+
+    Args:
+        img: [F, H, W, C].
+        seg_id: [F, H, W] int32.
+    """
+    f, h, w, c = img.shape
+    # per-pixel class-interior indicator: erosion of the one-hot mask at the
+    # pixel's own class equals 1 iff the 5×5 neighborhood is single-class
+    same = (
+        jax.lax.reduce_window(
+            seg_id.astype(jnp.float32), -jnp.inf, jax.lax.max,
+            (1, 5, 5), (1, 1, 1), [(0, 0), (2, 2), (2, 2)],
+        )
+        == jax.lax.reduce_window(
+            seg_id.astype(jnp.float32), jnp.inf, jax.lax.min,
+            (1, 5, 5), (1, 1, 1), [(0, 0), (2, 2), (2, 2)],
+        )
+    ).astype(jnp.float32)[..., None]
+    # the reference's zero-padded erosion kills the 2-pixel image border
+    # (MaxPool2d pad=2 over -mask); reproduce that
+    border = jnp.zeros((h, w), img.dtype).at[2:-2, 2:-2].set(1.0)
+    same = same * border[None, :, :, None]
+
+    dh = (img[:, 1:, :, :] - img[:, :-1, :, :]) * same[:, :-1, :, :]
+    dw = (img[:, :, 1:, :] - img[:, :, :-1, :]) * same[:, :, :-1, :]
+    count_h = c * (h - 1) * w
+    count_w = c * h * (w - 1)
+    return (
+        weight * 2.0 * (jnp.sum(dh ** 2) / count_h + jnp.sum(dw ** 2) / count_w)
+        / f / num_classes
+    )
+
+
+# ---------------------------------------------------------------------------
+# RenderLoss (the Mat-stage objective)
+# ---------------------------------------------------------------------------
+
+
+def render_loss(
+    gt_img: jnp.ndarray,
+    preds: Dict[str, jnp.ndarray],
+    gt_mask: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    num_classes: int,
+    stage: int,
+    highlight: Optional[jnp.ndarray] = None,
+    seg_region: Optional[jnp.ndarray] = None,
+    room_id: Optional[jnp.ndarray] = None,
+    num_rooms: int = 1,
+    loss_type: str = "L1",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stagewise Mat objective (reference models/loss.py:81-115).
+
+    stage 0: L1(log) over gt_mask + 20·SegLoss(albedo, mode 0)
+    stage 1: L1(log) restricted to highlight∩seg region, scaled by h·w
+             + SegLoss(roughness, mode 1)
+    stage 2: L1(log) over seg region + 0.2·SegLoss(roughness, mode 2)
+
+    Args:
+        gt_img: [F, H, W, 3] HDR target.
+        preds: model outputs (rgb, albedo, roughness, roughness_womipmap,
+            empty_mask).
+        gt_mask: [F, H, W, 1] photo validity mask.
+        seg_id: [F, H, W] int32 class ids.
+        highlight: [F, H, W, 1] VHL highlight mask (stage 1).
+        seg_region: [F, H, W, 1] union-of-classes region mask (the
+            reference's seg_mask collapsed over classes; it multiplies the
+            photometric term in stages 1-2).
+    Returns:
+        (total loss, seg term) — both scalars.
+    """
+    fn = l1 if loss_type == "L1" else l2
+    empty = preds["empty_mask"]
+    pred_img = preds["rgb"] * empty
+    f, h, w, _ = pred_img.shape
+
+    if stage == 0:
+        direct = fn(hdr_scale(pred_img * gt_mask), hdr_scale(gt_img * gt_mask))
+        seg = seg_loss(preds["albedo"], seg_id, num_classes, mode=0) * 20.0
+        return direct + seg, seg
+    if stage == 1:
+        assert highlight is not None and seg_region is not None
+        m = highlight * seg_region
+        direct = fn(hdr_scale(gt_img * m), hdr_scale(pred_img * m)) * (h * w)
+        # NOTE: the reference passes empty_mask as valid_mask but its active
+        # code path never uses it (models/loss.py:243 vs :268) — omit it here.
+        seg = seg_loss(
+            preds["roughness"], seg_id, num_classes, mode=1,
+            img_womipmap=preds["roughness_womipmap"], highlight=highlight,
+        )
+        return direct + seg, seg
+    if stage == 2:
+        assert seg_region is not None
+        direct = fn(hdr_scale(gt_img * seg_region), hdr_scale(pred_img * seg_region))
+        seg = seg_loss(
+            preds["roughness"], seg_id, num_classes, mode=2,
+            room_id=room_id if room_id is not None else jnp.zeros_like(seg_id),
+            num_rooms=num_rooms, valid_mask=empty,
+        ) * 0.2
+        return direct + seg, seg
+    raise ValueError(f"unknown render_loss stage: {stage}")
+
+
+class RenderLoss:
+    """Callable wrapper matching the reference class interface."""
+
+    def __init__(self, loss_type: str = "L1", w_gradient: float = 0.0):
+        self.loss_type = loss_type
+        self.w_gradient = w_gradient
+
+    def __call__(self, gt_img, preds, gt_mask, seg_id, num_classes, stage, **kw):
+        return render_loss(
+            gt_img, preds, gt_mask, seg_id, num_classes, stage,
+            loss_type=self.loss_type, **kw,
+        )
+
+
+# ---------------------------------------------------------------------------
+# baseline-head losses
+# ---------------------------------------------------------------------------
+
+
+def kl_divergence(rho: float, latent: jnp.ndarray) -> jnp.ndarray:
+    """Sparsity KL on sigmoid latents (reference models/loss.py:361-364).
+
+    NOTE: the reference re-encodes the points and applies sigmoid once via
+    `kl_divergence(0.05, encoder(pe(points)))` where the encoder output is
+    *pre*-sigmoid and `rho_hat = mean(sigmoid(values), 0)`.  Pass the
+    pre-sigmoid encoder activations here.
+    """
+    rho_hat = jnp.mean(jax.nn.sigmoid(latent), axis=0)
+    rho_hat = jnp.clip(rho_hat, 1e-6, 1 - 1e-6)
+    return jnp.mean(
+        rho * jnp.log(rho / rho_hat) + (1 - rho) * jnp.log((1 - rho) / (1 - rho_hat))
+    )
+
+
+def inv_loss(
+    outputs: Dict[str, jnp.ndarray],
+    rgb_gt: jnp.ndarray,
+    latent_pre_sigmoid: jnp.ndarray,
+    sg_rgb_weight: float = 1.0,
+    kl_weight: float = 0.01,
+    latent_smooth_weight: float = 0.1,
+    loss_type: str = "L1",
+) -> Dict[str, jnp.ndarray]:
+    """InvRender objective (reference models/loss.py:297-396)."""
+    fn = l1 if loss_type == "L1" else l2
+    rgb_loss = fn(hdr_scale(outputs["rgb"]), hdr_scale(rgb_gt))
+    smooth = l1(outputs["diffuse_albedo"], outputs["random_xi_diffuse_albedo"]) + l1(
+        outputs["roughness"][..., 0], outputs["random_xi_roughness"][..., 0]
+    )
+    kl = kl_divergence(0.05, latent_pre_sigmoid)
+    total = sg_rgb_weight * rgb_loss + kl_weight * kl + latent_smooth_weight * smooth
+    return {
+        "loss": total,
+        "sg_rgb_loss": rgb_loss,
+        "kl_loss": kl,
+        "latent_smooth_loss": smooth,
+    }
+
+
+def neilf_loss(
+    outputs: Dict[str, jnp.ndarray],
+    rgb_gt: jnp.ndarray,
+    rgb_grad: jnp.ndarray,
+    lambertian_weighting: float = 0.0005,
+    smoothness_weighting: float = 0.0005,
+) -> jnp.ndarray:
+    """NeILF objective (reference models/loss.py:400-437): photometric L1 in
+    log domain + image-gradient-gated BRDF smoothness + lambertian prior."""
+    rgb_loss = l1(hdr_scale(outputs["rgb"]), hdr_scale(rgb_gt))
+    grads = outputs["brdf_grad"]
+    smooth = jnp.mean(
+        jnp.linalg.norm(grads, axis=-1) * jnp.exp(-rgb_grad[..., 0])
+    )
+    reg = jnp.mean(jnp.abs(outputs["roughness"] - 1.0))
+    return rgb_loss + smoothness_weighting * smooth + lambertian_weighting * reg
+
+
+def nvdiffrec_loss(
+    outputs: Dict[str, jnp.ndarray],
+    rgb_gt: jnp.ndarray,
+    iteration: jnp.ndarray,
+    albedo_smooth_weight: float = 0.03,
+) -> jnp.ndarray:
+    """nvdiffrec objective (reference models/loss.py:440-466): MSE in log
+    domain + ramped kd-gradient smoothness."""
+    img_loss = l2(hdr_scale(outputs["rgb"]), hdr_scale(rgb_gt))
+    ramp = jnp.minimum(1.0, iteration / 100.0)
+    reg = jnp.mean(outputs["kd_grad"]) * albedo_smooth_weight * ramp
+    return img_loss + reg
+
+
+InvLoss = inv_loss
+NeILFLoss = neilf_loss
+NvDiffRecLoss = nvdiffrec_loss
