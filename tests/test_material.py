@@ -1,0 +1,169 @@
+"""End-to-end MaterialModel tests on the synthetic room."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from texir_code_tpu.data.synthetic import make_scene
+from texir_code_tpu.models.material import (
+    MaterialModel,
+    MaterialParams,
+    clamp_material_params,
+    init_material_params,
+)
+from texir_code_tpu.ops.gbuffer import cube_mvp
+
+
+RES = 64  # pano width 64 -> cube_res 16
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(atlas_res=48)
+
+
+@pytest.fixture(scope="module")
+def model(scene):
+    # bake a fake IrT: constant plausible irradiance
+    irt = np.full((32, 32, 3), 1.5, np.float32)
+    return MaterialModel(
+        scene.mesh, scene.hdr_texture, irt,
+        pano_res=(RES // 2, RES), sample_light=(32, 8),
+    )
+
+
+@pytest.fixture(scope="module")
+def cam(scene):
+    pos = scene.camera_positions(1)[0]
+    ext = np.eye(4, dtype=np.float32)
+    ext[0:3, 3] = pos
+    return jnp.asarray(ext), jnp.asarray(pos)
+
+
+def test_forward_shapes_all_stages(model, cam):
+    ext, pos = cam
+    mvp = cube_mvp(ext)
+    params = init_material_params(32, 64)
+    key = jax.random.PRNGKey(0)
+    for stage in (-1, 0, 1, 2):
+        out = model.forward(params, mvp, pos, stage, key)
+        r = model.cube_res
+        assert out["rgb"].shape == (6, r, r, 3)
+        assert out["albedo"].shape == (6, r, r, 3)
+        assert out["roughness"].shape == (6, r, r, 1)
+        assert out["empty_mask"].shape == (6, r, r, 1)
+        assert np.isfinite(np.asarray(out["rgb"])).all(), f"stage {stage}"
+
+
+def test_closed_room_full_coverage(model, cam):
+    ext, pos = cam
+    out = model.forward(
+        init_material_params(32, 32), cube_mvp(ext), pos, 0, jax.random.PRNGKey(0)
+    )
+    assert np.asarray(out["empty_mask"]).min() == 1.0
+
+
+def test_stage0_is_lambertian(model, cam):
+    """stage 0 rgb = irr·albedo/π with constant IrT=1.5, albedo=0.5."""
+    ext, pos = cam
+    out = model.forward(
+        init_material_params(32, 32), cube_mvp(ext), pos, 0, jax.random.PRNGKey(0)
+    )
+    rgb = np.asarray(out["rgb"])
+    np.testing.assert_allclose(rgb, 1.5 * 0.5 / np.pi, rtol=1e-3)
+
+
+def test_vhl_stage_highlights_lamp_only(model, cam):
+    """stage -1 renders with the lamp-only emitter and zero albedo → image is
+    pure specular; pixels reflecting the lamp are much brighter."""
+    ext, pos = cam
+    out = model.forward(
+        init_material_params(32, 32), cube_mvp(ext), pos, -1, jax.random.PRNGKey(1)
+    )
+    rgb = np.asarray(out["rgb"]).max(axis=-1)
+    assert rgb.max() > 10 * max(np.median(rgb), 1e-6)  # sparse bright spots
+    # most of the image is dark (diffuse term zero, few specular paths)
+    assert (rgb < 0.05 * rgb.max()).mean() > 0.5
+
+
+def test_stage2_brighter_than_stage0(model, cam):
+    """Full render adds specular energy over the Lambertian-only image."""
+    ext, pos = cam
+    params = init_material_params(32, 32)
+    key = jax.random.PRNGKey(2)
+    r0 = np.asarray(model.forward(params, cube_mvp(ext), pos, 0, key)["rgb"])
+    r2 = np.asarray(model.forward(params, cube_mvp(ext), pos, 2, key)["rgb"])
+    assert r2.mean() >= r0.mean() - 1e-6
+
+
+def test_gradients_flow_per_stage(model, cam):
+    """stage 0: albedo only; stage 1: roughness only; stage 2: both."""
+    ext, pos = cam
+    mvp = cube_mvp(ext)
+    key = jax.random.PRNGKey(3)
+    params = init_material_params(32, 32)
+
+    def loss(p, stage):
+        out = model.forward(p, mvp, pos, stage, key)
+        return jnp.mean(out["rgb"])
+
+    for stage, has_albedo, has_rough in [(0, True, False), (1, False, True), (2, True, True)]:
+        g = jax.grad(lambda p: loss(p, stage))(params)
+        ga = float(jnp.abs(g.albedo).sum())
+        gr = float(jnp.abs(g.roughness).sum())
+        assert (ga > 0) == has_albedo, f"stage {stage} albedo grad {ga}"
+        assert (gr > 0) == has_rough, f"stage {stage} roughness grad {gr}"
+
+
+def test_clamp_params():
+    p = MaterialParams(
+        albedo=jnp.asarray([[[-0.5, 0.2, 2.0]]]),
+        roughness=jnp.asarray([[[0.0], [0.95]]]),
+    )
+    c = clamp_material_params(p)
+    assert float(c.albedo.min()) == 0.0
+    assert float(c.roughness.min()) == pytest.approx(1e-2)
+    assert float(c.roughness.max()) == pytest.approx(0.8)
+
+
+def test_one_optimization_step_reduces_loss(model, scene, cam):
+    """A few Adam steps on the stage-0 objective reduce the photometric loss
+    (the minimal end-to-end training slice)."""
+    import optax
+
+    from texir_code_tpu.models.losses import render_loss
+
+    ext, pos = cam
+    mvp = cube_mvp(ext)
+    key = jax.random.PRNGKey(4)
+    params = init_material_params(32, 32)
+
+    # ground-truth image: render the scene with GT albedo via the model
+    gt_params = MaterialParams(
+        albedo=jnp.asarray(scene.gt_albedo[:32:2, :32:2] * 0 + 0.8),
+        roughness=jnp.full((32, 32, 1), 0.3),
+    )
+    gt = model.forward(gt_params, mvp, pos, 0, key)["rgb"]
+    gt = jax.lax.stop_gradient(gt)
+    seg_id = jnp.zeros((6, model.cube_res, model.cube_res), jnp.int32)
+    gt_mask = jnp.ones((6, model.cube_res, model.cube_res, 1))
+
+    def loss_fn(p):
+        out = model.forward(p, mvp, pos, 0, key)
+        total, seg_term = render_loss(gt, out, gt_mask, seg_id, 2, 0)
+        # track the photometric term separately: the seg prior deliberately
+        # resists per-texel deviation from the class mean
+        return total, total - seg_term
+
+    opt = optax.adam(3e-2)
+    state = opt.init(params)
+    _, d0 = loss_fn(params)
+    for _ in range(15):
+        g = jax.grad(lambda p: loss_fn(p)[0])(params)
+        upd, state = opt.update(g, state)
+        params = optax.apply_updates(params, upd)
+        params = clamp_material_params(params)
+    _, d1 = loss_fn(params)
+    assert float(d1) < float(d0) * 0.7

@@ -1,0 +1,192 @@
+"""Synthetic indoor scene for tests, demos, and benchmarks.
+
+The reference's pipelines are exercised on proprietary scan data (available
+by email request only, reference README.md:22-33) plus OptixRenderer-made
+synthetic scenes.  This module builds a self-contained equivalent — a
+uv-atlased "cornell room" with an emissive ceiling lamp baked into the HDR
+atlas (the TBL emitter) and known ground-truth materials — so every stage
+(NIrF, IrT, Mat) and benchmark runs hermetically.
+
+Atlas layout: a 3×2 grid of face charts with margins; face k occupies cell
+(k%3, k//3).  Each wall's uv spans its cell interior, so the one atlas
+serves the TBL emitter, the IrT bake target, and the material textures,
+exactly like the reference's single-texture scan meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from texir_code_tpu.geometry.mesh import Mesh
+
+# wall order: floor(-y), ceiling(+y), -z, +z, -x, +x
+_WALL_NAMES = ("floor", "ceiling", "back", "front", "left", "right")
+
+
+def _cell_uv(face_idx: int, margin: float = 0.02) -> np.ndarray:
+    """[4, 2] uv corners of face chart `face_idx` in the 3×2 atlas grid."""
+    cx, cy = face_idx % 3, face_idx // 3
+    u0 = cx / 3.0 + margin
+    u1 = (cx + 1) / 3.0 - margin
+    v0 = cy / 2.0 + margin
+    v1 = (cy + 1) / 2.0 - margin
+    return np.array([[u0, v0], [u1, v0], [u1, v1], [u0, v1]], np.float32)
+
+
+def make_room_mesh(size: Tuple[float, float, float] = (4.0, 3.0, 5.0)) -> Mesh:
+    """Closed box room, inward-facing normals, one chart per wall."""
+    sx, sy, sz = size
+    lo = np.array([0.0, 0.0, 0.0], np.float32)
+    hi = np.array([sx, sy, sz], np.float32)
+
+    def wall(corners):
+        return np.asarray(corners, np.float32)
+
+    # each wall: 4 corners counter-clockwise when seen from inside
+    walls = [
+        wall([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+              [hi[0], lo[1], hi[2]], [lo[0], lo[1], hi[2]]]),   # floor (+y normal)
+        wall([[lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]],
+              [hi[0], hi[1], hi[2]], [hi[0], hi[1], lo[2]]]),   # ceiling (-y)
+        wall([[lo[0], lo[1], lo[2]], [lo[0], hi[1], lo[2]],
+              [hi[0], hi[1], lo[2]], [hi[0], lo[1], lo[2]]]),   # back z=0 (+z)
+        wall([[lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+              [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]]),   # front z=sz (-z)
+        wall([[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]],
+              [lo[0], hi[1], hi[2]], [lo[0], hi[1], lo[2]]]),   # left x=0 (+x)
+        wall([[hi[0], lo[1], lo[2]], [hi[0], hi[1], lo[2]],
+              [hi[0], hi[1], hi[2]], [hi[0], lo[1], hi[2]]]),   # right (-x)
+    ]
+
+    vertices, faces, uvs, uv_faces = [], [], [], []
+    for k, corners in enumerate(walls):
+        base = len(vertices)
+        vertices.extend(corners)
+        uv4 = _cell_uv(k)
+        ubase = len(uvs)
+        uvs.extend(uv4)
+        faces.append([base, base + 1, base + 2])
+        faces.append([base, base + 2, base + 3])
+        uv_faces.append([ubase, ubase + 1, ubase + 2])
+        uv_faces.append([ubase, ubase + 2, ubase + 3])
+
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    uv_faces = np.asarray(uv_faces, np.int32)
+
+    # orient every triangle so its geometric normal faces the room interior
+    # (the reference scan meshes are inward-facing; shading offsets p+ε·n
+    # assume it)
+    center = (lo + hi) / 2.0
+    tri = vertices[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    to_center = center[None, :] - tri.mean(axis=1)
+    flip = (n * to_center).sum(-1) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    uv_faces[flip] = uv_faces[flip][:, [0, 2, 1]]
+
+    mesh = Mesh(
+        vertices=vertices,
+        faces=faces,
+        uvs=np.asarray(uvs, np.float32),
+        uv_faces=uv_faces,
+    )
+    mesh.compute_vertex_normals()
+    return mesh
+
+
+def _chart_slice(face_idx: int, res: int) -> Tuple[slice, slice]:
+    """Texture rows/cols of face chart `face_idx` (v-up row order: row index
+    grows with v)."""
+    cx, cy = face_idx % 3, face_idx // 3
+    rows = slice(cy * res // 2, (cy + 1) * res // 2)
+    cols = slice(cx * res // 3, (cx + 1) * res // 3)
+    return rows, cols
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    mesh: Mesh
+    hdr_texture: np.ndarray      # [R, R, 3] emitter atlas (TBL)
+    gt_albedo: np.ndarray        # [R, R, 3] ground-truth albedo
+    gt_roughness: np.ndarray     # [R, R, 1]
+    seg_texture: np.ndarray      # [R, R] int32 per-texel seg class (=wall id)
+    lamp_radiance: float
+    size: Tuple[float, float, float]
+
+    def camera_positions(self, n: int = 4) -> np.ndarray:
+        """n interior camera positions on a ring."""
+        sx, sy, sz = self.size
+        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        return np.stack(
+            [
+                sx / 2 + 0.25 * sx * np.cos(t),
+                np.full_like(t, sy * 0.5),
+                sz / 2 + 0.25 * sz * np.sin(t),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+
+def make_scene(
+    atlas_res: int = 96,
+    lamp_radiance: float = 20.0,
+    size: Tuple[float, float, float] = (4.0, 3.0, 5.0),
+    seed: int = 666,
+) -> SyntheticScene:
+    """Build the synthetic room.
+
+    The HDR atlas approximates an already-lit scan: walls carry moderate
+    radiosity values per wall color; the ceiling chart contains a small very
+    bright lamp patch (the only texels above the VHL threshold).
+    """
+    rng = np.random.default_rng(seed)
+    mesh = make_room_mesh(size)
+
+    wall_colors = np.array(
+        [
+            [0.60, 0.55, 0.50],  # floor
+            [0.85, 0.85, 0.85],  # ceiling
+            [0.70, 0.30, 0.30],  # back (red-ish)
+            [0.30, 0.70, 0.35],  # front (green-ish)
+            [0.75, 0.75, 0.45],  # left
+            [0.45, 0.55, 0.80],  # right
+        ],
+        np.float32,
+    )
+    wall_rough = np.array([0.5, 0.7, 0.35, 0.6, 0.25, 0.45], np.float32)
+
+    r = atlas_res
+    hdr = np.zeros((r, r, 3), np.float32)
+    gt_albedo = np.zeros((r, r, 3), np.float32)
+    gt_rough = np.full((r, r, 1), 0.5, np.float32)
+    seg = np.zeros((r, r), np.int32)
+    for k in range(6):
+        rows, cols = _chart_slice(k, r)
+        # mild spatial variation so texture gradients are informative
+        noise = 1.0 + 0.1 * rng.standard_normal((rows.stop - rows.start,
+                                                 cols.stop - cols.start, 1))
+        hdr[rows, cols] = wall_colors[k] * 0.3 * noise
+        gt_albedo[rows, cols] = wall_colors[k]
+        gt_rough[rows, cols] = wall_rough[k]
+        seg[rows, cols] = k
+
+    # lamp: central patch of the ceiling chart (face 1)
+    rows, cols = _chart_slice(1, r)
+    h0 = (rows.start + rows.stop) // 2
+    w0 = (cols.start + cols.stop) // 2
+    lamp = (slice(h0 - r // 24, h0 + r // 24), slice(w0 - r // 24, w0 + r // 24))
+    hdr[lamp[0], lamp[1]] = lamp_radiance
+
+    return SyntheticScene(
+        mesh=mesh,
+        hdr_texture=hdr,
+        gt_albedo=gt_albedo,
+        gt_roughness=gt_rough,
+        seg_texture=seg,
+        lamp_radiance=lamp_radiance,
+        size=size,
+    )
