@@ -21,7 +21,7 @@ from tests.test_geometry import make_quad_mesh
 from tests.test_raycast import make_quad_mesh as _  # noqa: F401
 
 
-def make_box_mesh(lo=0.0, hi=1.0, inward=False):
+def make_box_mesh(lo=0.0, hi=1.0, inward=True):
     """Closed axis-aligned box with per-face uvs covering [0,1]²."""
     lo3, hi3 = np.full(3, lo, np.float32), np.full(3, hi, np.float32)
     corners = np.array(
@@ -44,6 +44,8 @@ def make_box_mesh(lo=0.0, hi=1.0, inward=False):
         uvs=uvs,
         uv_faces=np.asarray(uv_faces, np.int32),
     )
+    if inward:
+        m.orient_faces_toward((lo3 + hi3) / 2.0)
     m.compute_vertex_normals()
     return m
 

@@ -73,27 +73,14 @@ def make_room_mesh(size: Tuple[float, float, float] = (4.0, 3.0, 5.0)) -> Mesh:
         uv_faces.append([ubase, ubase + 1, ubase + 2])
         uv_faces.append([ubase, ubase + 2, ubase + 3])
 
-    vertices = np.asarray(vertices, np.float32)
-    faces = np.asarray(faces, np.int32)
-    uv_faces = np.asarray(uv_faces, np.int32)
-
-    # orient every triangle so its geometric normal faces the room interior
-    # (the reference scan meshes are inward-facing; shading offsets p+ε·n
-    # assume it)
-    center = (lo + hi) / 2.0
-    tri = vertices[faces]
-    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    to_center = center[None, :] - tri.mean(axis=1)
-    flip = (n * to_center).sum(-1) < 0
-    faces[flip] = faces[flip][:, [0, 2, 1]]
-    uv_faces[flip] = uv_faces[flip][:, [0, 2, 1]]
-
     mesh = Mesh(
-        vertices=vertices,
-        faces=faces,
+        vertices=np.asarray(vertices, np.float32),
+        faces=np.asarray(faces, np.int32),
         uvs=np.asarray(uvs, np.float32),
-        uv_faces=uv_faces,
+        uv_faces=np.asarray(uv_faces, np.int32),
     )
+    # scan meshes of rooms are inward-facing; shading offsets p+ε·n assume it
+    mesh.orient_faces_toward((lo + hi) / 2.0)
     mesh.compute_vertex_normals()
     return mesh
 

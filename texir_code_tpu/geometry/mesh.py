@@ -95,6 +95,20 @@ class Mesh:
             np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1
         )
 
+    def orient_faces_toward(self, point: np.ndarray) -> None:
+        """Flip triangles so geometric normals face `point` (e.g. the room
+        interior).  Scan meshes of rooms are inward-facing; shading offsets
+        p+ε·n assume it."""
+        tri = self.triangle_corners()
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        to_p = np.asarray(point)[None, :] - tri.mean(axis=1)
+        flip = (n * to_p).sum(-1) < 0
+        self.faces[flip] = self.faces[flip][:, [0, 2, 1]]
+        if self.uv_faces is not None:
+            self.uv_faces[flip] = self.uv_faces[flip][:, [0, 2, 1]]
+        if self.vertex_normals is not None:
+            self.compute_vertex_normals()
+
     def sample_surface(
         self, num_samples: int, rng: np.random.Generator
     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,103 @@
+"""NIrF — neural irradiance field training model (stage IRRF).
+
+TPU-native rebuild of reference models/tracer_o3d_irrf.py:29-255: per step,
+surface points get Hammersley-stratified hemisphere directions, ground-truth
+irradiance is Monte-Carlo traced against the TBL on device (the reference
+round-trips every ray through CPU Embree, :90-92), and a `MatNetwork` MLP
+predicts log-domain irradiance at the point plus a jittered point (the
+smoothness pair, :125-128).
+
+The returned dict matches the reference ({gt, pred, pred_jit}) and feeds
+losses.IRFLoss.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from texir_code_tpu.models.fields import MatNetwork
+from texir_code_tpu.models.tbl import TBL, query_tbl_multi
+from texir_code_tpu.ops.sampling import generate_dir
+from texir_code_tpu.ops.shading import irradiance_estimator
+
+
+class TracerIRRF:
+    """NIrF trainer model: MC irradiance ground truth + MLP prediction."""
+
+    def __init__(
+        self,
+        tbl: TBL,
+        network: Optional[MatNetwork] = None,
+        std_jit: float = 5e-2,
+    ):
+        """Args:
+            tbl: texture-based-lighting scene (emitter mesh + HDR atlas).
+            network: irradiance MLP (defaults to the reference's
+                irrf_network config: PE(10) → 4×512 → 3).
+            std_jit: jitter std for the smoothness pair
+                (train.std_jit, reference configs/irrf_hdrhouse.conf).
+        """
+        self.tbl = tbl
+        self.network = network or MatNetwork(
+            points_multires=10, dims=(512, 512, 512, 512), p_out_dim=3
+        )
+        self.std_jit = std_jit
+
+    def init_params(self, key: jax.Array):
+        return self.network.init(key, jnp.zeros((1, 3)))
+
+    @partial(jax.jit, static_argnames=("self", "resolution"))
+    def trace_gt(
+        self,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        resolution: Tuple[int, int],
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        """MC ground-truth irradiance: Σ L·(n·l)·2π/S over S = h·w uniform
+        hemisphere directions (reference :121-122).  Non-differentiable.
+
+        Args:
+            points: [B, 3]; normals: [B, 3].
+            resolution: (h, w) direction grid; S = h·w (env_res config).
+        """
+        s = resolution[0] * resolution[1]
+        dirs = generate_dir(normals, s, key, mode="uniform")
+        lighting = query_tbl_multi(self.tbl, points, dirs)
+        return irradiance_estimator(lighting, dirs, normals, s)
+
+    def forward(
+        self,
+        params,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        resolution: Tuple[int, int],
+        key: jax.Array,
+        trace: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """One training-step forward (reference :72-145).
+
+        Returns {gt, pred, pred_jit}; `pred` is in hdr_scale (log) domain —
+        the loss compares it against hdr_scale(gt) (models/loss.py:52).
+        """
+        k_trace, k_jit = jax.random.split(key)
+        out: Dict[str, jnp.ndarray] = {}
+        if trace:
+            out["gt"] = jax.lax.stop_gradient(
+                self.trace_gt(points, normals, resolution, k_trace)
+            )
+        out["pred"] = self.network.apply(params, points)
+        jitter = jax.random.normal(k_jit, points.shape) * self.std_jit
+        out["pred_jit"] = self.network.apply(params, points + jitter)
+        return out
+
+    def predict_irradiance(self, params, points: jnp.ndarray) -> jnp.ndarray:
+        """Inference: linear-domain irradiance at points (hdr_recover of the
+        log-domain MLP output, reference models/mat_nvdiffrast.py:157)."""
+        from texir_code_tpu.ops.shading import hdr_recover
+
+        return hdr_recover(self.network.apply(params, points))

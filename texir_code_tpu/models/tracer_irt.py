@@ -1,0 +1,178 @@
+"""IrT — Monte-Carlo irradiance-texture baking (stage IrrT).
+
+TPU-native rebuild of reference models/tracer_o3d_irt.py:35-269 with a
+cleaner geometry path: the reference reconstructs per-texel positions by
+rasterizing position cubemaps per camera, warping them to panos, and decoding
+a packed "index texture" asset (:99-142, the 0.png ÷50000 scheme tied to its
+scan pipeline).  Here per-texel world positions/normals come from a direct
+texture-space rasterization of the uv-unwrapped mesh — exact, asset-free,
+and identical in effect (unmapped texels stay invalid and bake to zero,
+matching the reference's seam zeroing at :177-178).
+
+The bake itself is the reference's estimator — S uniform hemisphere samples
+per texel, irradiance = Σ L·ndl·2π/S (:156-174) — streamed through the chip
+in fixed-size texel batches (the 512-texel batching at :156-161 becomes a
+device-side lax.map over padded batches; multi-chip sharding splits the
+texel axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texir_code_tpu.models.tbl import TBL, query_tbl_multi
+from texir_code_tpu.ops.sampling import generate_dir
+from texir_code_tpu.ops.shading import irradiance_estimator
+
+
+@dataclasses.dataclass
+class GeometryTextures:
+    """Per-texel geometry of the uv atlas."""
+
+    position: np.ndarray  # [R, R, 3] world position at the texel center
+    normal: np.ndarray    # [R, R, 3] shading normal
+    valid: np.ndarray     # [R, R] bool — texel is covered by a triangle
+
+
+def bake_geometry_textures(mesh, res: int, offset: float = 0.0) -> GeometryTextures:
+    """Texture-space rasterization: world position/normal per atlas texel.
+
+    For every triangle, texels whose centers fall inside its uv footprint get
+    barycentric-interpolated world position and vertex normal.  Host-side
+    numpy, vectorized per triangle over its uv bounding box.
+
+    Args:
+        mesh: geometry.Mesh with uvs and vertex normals.
+        res: atlas resolution (reference bakes 1024,
+            models/tracer_o3d_irt.py:95).
+        offset: displace positions by offset·normal (bake-time surface
+            epsilon; the reference offsets at trace time instead).
+    """
+    if mesh.vertex_normals is None:
+        mesh.compute_vertex_normals()
+    position = np.zeros((res, res, 3), np.float32)
+    normal = np.zeros((res, res, 3), np.float32)
+    valid = np.zeros((res, res), bool)
+
+    tri_uv = mesh.triangle_uvs().reshape(-1, 3, 2) * res - 0.5  # texel coords
+    tri_pos = mesh.triangle_corners()
+    tri_nrm = mesh.vertex_normals[mesh.faces]
+
+    for f in range(mesh.num_faces):
+        uv = tri_uv[f]
+        lo = np.maximum(np.floor(uv.min(axis=0)).astype(int), 0)
+        hi = np.minimum(np.ceil(uv.max(axis=0)).astype(int) + 1, res)
+        if (hi <= lo).any():
+            continue
+        xs = np.arange(lo[0], hi[0])
+        ys = np.arange(lo[1], hi[1])
+        gx, gy = np.meshgrid(xs, ys, indexing="xy")
+        p = np.stack([gx, gy], axis=-1).astype(np.float32)  # texel centers
+        # barycentrics of p in the uv triangle
+        a, b, c = uv[0], uv[1], uv[2]
+        v0, v1 = b - a, c - a
+        v2 = p - a
+        d00 = v0 @ v0
+        d01 = v0 @ v1
+        d11 = v1 @ v1
+        denom = d00 * d11 - d01 * d01
+        if abs(denom) < 1e-12:
+            continue
+        d20 = v2 @ v0
+        d21 = v2 @ v1
+        u = (d11 * d20 - d01 * d21) / denom
+        v = (d00 * d21 - d01 * d20) / denom
+        w = 1.0 - u - v
+        inside = (u >= -1e-6) & (v >= -1e-6) & (w >= -1e-6)
+        if not inside.any():
+            continue
+        pos = (
+            w[..., None] * tri_pos[f, 0]
+            + u[..., None] * tri_pos[f, 1]
+            + v[..., None] * tri_pos[f, 2]
+        )
+        nrm = (
+            w[..., None] * tri_nrm[f, 0]
+            + u[..., None] * tri_nrm[f, 1]
+            + v[..., None] * tri_nrm[f, 2]
+        )
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        rows, cols = gy[inside], gx[inside]
+        position[rows, cols] = pos[inside] + offset * nrm[inside]
+        normal[rows, cols] = nrm[inside]
+        valid[rows, cols] = True
+    return GeometryTextures(position=position, normal=normal, valid=valid)
+
+
+class IrradianceTextureBaker:
+    """One-shot MC bake of the irradiance texture (reference :145-180)."""
+
+    def __init__(
+        self,
+        tbl: TBL,
+        spp: int = 2048,
+        texel_batch: int = 4096,
+        surface_eps: float = 1e-2,
+    ):
+        """Args:
+            tbl: lighting scene.
+            spp: uniform hemisphere samples per texel (train.sample_light[0],
+                2048 in configs/hdrhouse_ir_texture.conf).
+            texel_batch: texels processed per device step (the reference's
+                512-texel batches, sized up for TPU occupancy).
+            surface_eps: ray-origin offset along the normal.
+        """
+        self.tbl = tbl
+        self.spp = spp
+        self.texel_batch = texel_batch
+        self.surface_eps = surface_eps
+
+    @partial(jax.jit, static_argnames=("self",))
+    def bake_batch(
+        self, points: jnp.ndarray, normals: jnp.ndarray, key: jax.Array
+    ) -> jnp.ndarray:
+        """Irradiance for one flat batch of texels: [B, 3] → [B, 3]."""
+        origins = points + self.surface_eps * normals
+        dirs = generate_dir(normals, self.spp, key, mode="uniform")
+        lighting = query_tbl_multi(self.tbl, origins, dirs)
+        return irradiance_estimator(lighting, dirs, normals, self.spp)
+
+    def bake(
+        self,
+        geom: GeometryTextures,
+        key: jax.Array,
+        progress: bool = False,
+    ) -> np.ndarray:
+        """Full-texture bake: [R, R, 3] irradiance; invalid texels zero.
+
+        Streams texel batches through `bake_batch`; total rays =
+        valid_texels × spp (the reference's 1024² × 2048 ≈ 2.1 G rays)."""
+        res = geom.position.shape[0]
+        vr, vc = np.nonzero(geom.valid)
+        pts = jnp.asarray(geom.position[vr, vc])
+        nrm = jnp.asarray(geom.normal[vr, vc])
+        n = pts.shape[0]
+        bs = self.texel_batch
+        nb = (n + bs - 1) // bs
+        pad = nb * bs - n
+        if pad:
+            pts = jnp.concatenate([pts, jnp.zeros((pad, 3))])
+            nrm = jnp.concatenate(
+                [nrm, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]
+            )
+        out = np.zeros((n + pad, 3), np.float32)
+        for i in range(nb):
+            k = jax.random.fold_in(key, i)
+            sl = slice(i * bs, (i + 1) * bs)
+            out[sl] = np.asarray(self.bake_batch(pts[sl], nrm[sl], k))
+            if progress and i % 16 == 0:
+                print(f"bake: {i + 1}/{nb} batches")
+        tex = np.zeros((res, res, 3), np.float32)
+        tex[vr, vc] = out[:n]
+        return tex
