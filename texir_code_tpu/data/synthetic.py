@@ -36,8 +36,17 @@ def _cell_uv(face_idx: int, margin: float = 0.02) -> np.ndarray:
     return np.array([[u0, v0], [u1, v0], [u1, v1], [u0, v1]], np.float32)
 
 
-def make_room_mesh(size: Tuple[float, float, float] = (4.0, 3.0, 5.0)) -> Mesh:
-    """Closed box room, inward-facing normals, one chart per wall."""
+def make_room_mesh(
+    size: Tuple[float, float, float] = (4.0, 3.0, 5.0),
+    subdiv: int = 1,
+) -> Mesh:
+    """Closed box room, inward-facing normals, one chart per wall.
+
+    Args:
+        subdiv: tessellate each wall into subdiv×subdiv quads
+            (12·subdiv² triangles total) — scan meshes are dense, so
+            benchmarks use subdiv ≫ 1 to give the BVH realistic depth.
+    """
     sx, sy, sz = size
     lo = np.array([0.0, 0.0, 0.0], np.float32)
     hi = np.array([sx, sy, sz], np.float32)
@@ -63,15 +72,44 @@ def make_room_mesh(size: Tuple[float, float, float] = (4.0, 3.0, 5.0)) -> Mesh:
 
     vertices, faces, uvs, uv_faces = [], [], [], []
     for k, corners in enumerate(walls):
-        base = len(vertices)
-        vertices.extend(corners)
         uv4 = _cell_uv(k)
-        ubase = len(uvs)
-        uvs.extend(uv4)
-        faces.append([base, base + 1, base + 2])
-        faces.append([base, base + 2, base + 3])
-        uv_faces.append([ubase, ubase + 1, ubase + 2])
-        uv_faces.append([ubase, ubase + 2, ubase + 3])
+        # bilinear lattice over the wall and its uv chart
+        n = subdiv
+        for iy in range(n + 1):
+            for ix in range(n + 1):
+                s, t = ix / n, iy / n
+                p = (
+                    (1 - s) * (1 - t) * corners[0]
+                    + s * (1 - t) * corners[1]
+                    + s * t * corners[2]
+                    + (1 - s) * t * corners[3]
+                )
+                q = (
+                    (1 - s) * (1 - t) * uv4[0]
+                    + s * (1 - t) * uv4[1]
+                    + s * t * uv4[2]
+                    + (1 - s) * t * uv4[3]
+                )
+                vertices.append(p.astype(np.float32))
+                uvs.append(q.astype(np.float32))
+        base = len(vertices) - (n + 1) * (n + 1)
+        ubase = len(uvs) - (n + 1) * (n + 1)
+        for iy in range(n):
+            for ix in range(n):
+                a = base + iy * (n + 1) + ix
+                b = a + 1
+                c = a + (n + 1) + 1
+                d = a + (n + 1)
+                ua, ub, uc, ud = (
+                    ubase + iy * (n + 1) + ix,
+                    ubase + iy * (n + 1) + ix + 1,
+                    ubase + (iy + 1) * (n + 1) + ix + 1,
+                    ubase + (iy + 1) * (n + 1) + ix,
+                )
+                faces.append([a, b, c])
+                faces.append([a, c, d])
+                uv_faces.append([ua, ub, uc])
+                uv_faces.append([ua, uc, ud])
 
     mesh = Mesh(
         vertices=np.asarray(vertices, np.float32),
@@ -123,6 +161,7 @@ def make_scene(
     lamp_radiance: float = 20.0,
     size: Tuple[float, float, float] = (4.0, 3.0, 5.0),
     seed: int = 666,
+    subdiv: int = 1,
 ) -> SyntheticScene:
     """Build the synthetic room.
 
@@ -131,7 +170,7 @@ def make_scene(
     bright lamp patch (the only texels above the VHL threshold).
     """
     rng = np.random.default_rng(seed)
-    mesh = make_room_mesh(size)
+    mesh = make_room_mesh(size, subdiv=subdiv)
 
     wall_colors = np.array(
         [

@@ -32,10 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from texir_code_tpu.models.tbl import TBL, build_tbl, query_tbl_multi, vhl_texture
+from texir_code_tpu.models.tbl import TBL, build_tbl, query_tbl_soa, vhl_texture
 from texir_code_tpu.ops import shading
 from texir_code_tpu.ops.gbuffer import DeviceMesh, GBuffer, render_gbuffer
-from texir_code_tpu.ops.sampling import generate_dir, reflect
+from texir_code_tpu.ops.sampling import generate_dir_soa, reflect_soa
 from texir_code_tpu.ops.texture import (
     build_mip_pyramid,
     bilinear_sample,
@@ -253,35 +253,43 @@ class MaterialModel:
         (reference models/mat_nvdiffrast.py:201-249)."""
         tbl = tbl if tbl is not None else self.tbl
         face, h, w, _ = normal.shape
-        n = normal.reshape(-1, 3)
-        alb = albedo.reshape(-1, 3)
-        rgh = roughness.reshape(-1, 1)
-        pts = points.reshape(-1, 3)
-        ir = irr.reshape(-1, 3)
+        b = face * h * w
+        # SoA hot path: component [B] / [B, S] arrays (see ops.raycast for
+        # the TPU layout rationale)
+        n = tuple(normal[..., k].reshape(b) for k in range(3))
+        pts = tuple(points[..., k].reshape(b) for k in range(3))
+        rgh = roughness.reshape(b)
+        alb = albedo.reshape(b, 3)
+        ir = irr.reshape(b, 3)
 
-        view = cam_position[None, :] - pts
-        view = view / jnp.maximum(
-            jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-4
+        view = tuple(cam_position[k] - pts[k] for k in range(3))
+        vnorm = jnp.maximum(
+            jnp.sqrt(view[0] ** 2 + view[1] ** 2 + view[2] ** 2), 1e-4
         )
+        view = tuple(view[k] / vnorm for k in range(3))
 
         diffuse = shading.lambertian_diffuse(ir, alb)
 
         s_spec = self.sample_light[1]
-        half = generate_dir(n, s_spec, key, mode=self.sample_type[1], roughness=rgh)
-        light_dirs, _ = reflect(view, half)
-        lighting = query_tbl_multi(
-            tbl, pts, jax.lax.stop_gradient(light_dirs)
+        half = generate_dir_soa(
+            n, s_spec, key, mode=self.sample_type[1], roughness=rgh
         )
-        specular = (
-            shading.specular_estimator(lighting, half, n, view, light_dirs, rgh)
-            / s_spec
+        light_dirs, _ = reflect_soa(view, half)
+        lighting = query_tbl_soa(
+            tbl,
+            tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
+            jax.lax.stop_gradient(light_dirs),
         )
+        spec = shading.specular_estimator_soa(
+            lighting, half, n, view, light_dirs, rgh
+        )
+        specular = jnp.stack(spec, axis=-1) / s_spec
 
         return {
             "rgb": (diffuse + specular).reshape(face, h, w, 3),
             "albedo": alb.reshape(face, h, w, 3),
             "normal": normal,
             "position": jax.lax.stop_gradient(
-                (pts + 2e-2 * n).reshape(face, h, w, 3)
+                points + 2e-2 * normal
             ),
         }

@@ -8,27 +8,31 @@ models/tracer_o3d_irt.py:240-269).  Here the whole query is one fused
 on-device chain: BVH cast → per-corner uv gather → barycentric lerp →
 bilinear atlas fetch → miss masking.
 
+Layout: SoA throughout (see ops.raycast) — per-corner uvs as separate [F*3]
+u/v arrays, the atlas as three [H, W] channel planes, radiance returned as
+three [B]/[B, S] planes.  [N, 2]/[N, 3] arrays would pad their minor dim to
+128 lanes on TPU and blow HBM at bake scale.
+
 Conventions copied from the reference:
   * hits with t ≤ 1e-4 (or misses) contribute zero radiance
     (models/mat_nvdiffrast.py:299,317-318) — rays are cast with t_min=0 so a
     sub-epsilon hit still occludes, then masked;
   * barycentric uv clipped to [0,1] (:303);
-  * atlas fetched bilinearly with border padding at grid (2u-1, 2v-1)
-    (:313-316) — equivalent here to `bilinear_sample(texture, (u, v))` with
-    clamp boundary, with the atlas stored v-up (loaders flip; the reference
-    flips with cv2.flip(texture, 0) at :90).
+  * atlas fetched bilinearly with border padding (:313-316), the atlas
+    stored v-up (loaders flip, as the reference's cv2.flip at :90).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from texir_code_tpu.ops.raycast import DeviceBVH, cast_rays
+from texir_code_tpu.ops.raycast import DeviceBVH, Vec3s, cast_rays_soa
 from texir_code_tpu.ops.shading import rgb_to_intensity
-from texir_code_tpu.ops.texture import bilinear_sample
 
 
 @jax.tree_util.register_pytree_node_class
@@ -37,27 +41,34 @@ class TBL:
     """Device-side texture-based-lighting scene.
 
     Attributes:
-        bvh: DeviceBVH over the emitter mesh.
-        triangle_uvs: [F*3, 2] per-corner uvs (Open3D layout; see
-            geometry.mesh.Mesh.triangle_uvs).
-        texture: [H, W, 3] HDR atlas, already exposure-scaled
-            (reference multiplies by 2**hdr_exposure at load,
-            models/mat_nvdiffrast.py:93) and stored v-up.
+        bvh: DeviceBVH over the emitter mesh (SoA).
+        uv_u, uv_v: [F*3] per-corner uv components (Open3D triangle_uvs
+            layout, indexed prim*3+k as in models/mat_nvdiffrast.py:307-310).
+        planes: three [H, W] HDR atlas channel planes, exposure-scaled
+            (reference multiplies by 2**hdr_exposure at load, :93), v-up.
     """
 
     bvh: DeviceBVH
-    triangle_uvs: jnp.ndarray
-    texture: jnp.ndarray
+    uv_u: jnp.ndarray
+    uv_v: jnp.ndarray
+    planes: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
     def tree_flatten(self):
-        return (self.bvh, self.triangle_uvs, self.texture), None
+        return (self.bvh, self.uv_u, self.uv_v, self.planes), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves)
 
+    @property
+    def texture(self) -> jnp.ndarray:
+        """[H, W, 3] AoS view of the atlas (host/debug use)."""
+        return jnp.stack(self.planes, axis=-1)
+
     def with_texture(self, texture: jnp.ndarray) -> "TBL":
-        return TBL(self.bvh, self.triangle_uvs, texture)
+        """Replace the atlas ([H, W, 3])."""
+        planes = tuple(texture[..., k] for k in range(3))
+        return TBL(self.bvh, self.uv_u, self.uv_v, planes)
 
 
 def build_tbl(mesh, texture, hdr_exposure: float = 0.0, leaf_width: int = 4) -> TBL:
@@ -70,9 +81,17 @@ def build_tbl(mesh, texture, hdr_exposure: float = 0.0, leaf_width: int = 4) -> 
     """
     from texir_code_tpu.geometry.bvh import build_bvh
 
-    bvh = DeviceBVH.from_flat(build_bvh(mesh.vertices, mesh.faces, leaf_width=leaf_width))
-    tex = jnp.asarray(texture) * (2.0 ** hdr_exposure)
-    return TBL(bvh=bvh, triangle_uvs=jnp.asarray(mesh.triangle_uvs()), texture=tex)
+    bvh = DeviceBVH.from_flat(
+        build_bvh(mesh.vertices, mesh.faces, leaf_width=leaf_width)
+    )
+    tuv = mesh.triangle_uvs()
+    tex = np.asarray(texture, np.float32) * (2.0 ** hdr_exposure)
+    return TBL(
+        bvh=bvh,
+        uv_u=jnp.asarray(np.ascontiguousarray(tuv[:, 0])),
+        uv_v=jnp.asarray(np.ascontiguousarray(tuv[:, 1])),
+        planes=tuple(jnp.asarray(np.ascontiguousarray(tex[..., k])) for k in range(3)),
+    )
 
 
 def vhl_texture(texture: jnp.ndarray, hdr_exposure: float) -> jnp.ndarray:
@@ -86,42 +105,94 @@ def vhl_texture(texture: jnp.ndarray, hdr_exposure: float) -> jnp.ndarray:
     return jnp.where(intensity >= 0.5, texture, 0.0)
 
 
+def _bilinear_planes(
+    planes: Tuple[jnp.ndarray, ...], u: jnp.ndarray, v: jnp.ndarray
+) -> Tuple[jnp.ndarray, ...]:
+    """Bilinear fetch of channel planes at uv (clamp boundary), SoA."""
+    h, w = planes[0].shape
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    i00 = y0i * w + x0i
+    i01 = y0i * w + x1i
+    i10 = y1i * w + x0i
+    i11 = y1i * w + x1i
+
+    outs = []
+    for p in planes:
+        flat = p.reshape(-1)
+        top = jnp.take(flat, i00) * (1 - fx) + jnp.take(flat, i01) * fx
+        bot = jnp.take(flat, i10) * (1 - fx) + jnp.take(flat, i11) * fx
+        outs.append(top * (1 - fy) + bot * fy)
+    return tuple(outs)
+
+
+def query_tbl_soa(
+    tbl: TBL,
+    points: Vec3s,
+    dirs: Vec3s,
+    t_valid: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Incident radiance along rays, fully SoA (the fused `query_irf`).
+
+    Args:
+        points: 3×[...] ray origins (pre-offset by ε·normal at call sites).
+        dirs: 3×[...] ray directions (same shape as points).
+        t_valid: hits at t ≤ this report zero radiance (reference :299).
+    Returns:
+        (r, g, b) planes shaped like points[0]; zero for misses.  Not
+        differentiable — lighting is detached in the reference too.
+    """
+    hit = cast_rays_soa(tbl.bvh, points, dirs, t_min=0.0)
+    valid = jnp.isfinite(hit.t) & (hit.t > t_valid)
+
+    prim = jnp.where(valid, hit.prim, 0)
+    u = jnp.clip(hit.u, 0.0, 1.0)
+    v = jnp.clip(hit.v, 0.0, 1.0)
+    w0 = 1.0 - u - v
+
+    base = prim * 3
+    uu = (
+        jnp.take(tbl.uv_u, base) * w0
+        + jnp.take(tbl.uv_u, base + 1) * u
+        + jnp.take(tbl.uv_u, base + 2) * v
+    )
+    vv = (
+        jnp.take(tbl.uv_v, base) * w0
+        + jnp.take(tbl.uv_v, base + 1) * u
+        + jnp.take(tbl.uv_v, base + 2) * v
+    )
+
+    r, g, b = _bilinear_planes(tbl.planes, uu, vv)
+    z = jnp.zeros_like(r)
+    return (
+        jnp.where(valid, r, z),
+        jnp.where(valid, g, z),
+        jnp.where(valid, b, z),
+    )
+
+
 def query_tbl(
     tbl: TBL,
     points: jnp.ndarray,
     dirs: jnp.ndarray,
     t_valid: float = 1e-4,
 ) -> jnp.ndarray:
-    """Incident radiance arriving at `points` from directions `dirs`.
-
-    The fused `query_irf` equivalent.
-
-    Args:
-        tbl: lighting scene.
-        points: [B, 3] ray origins (pre-offset by ε·normal at call sites,
-            exactly as the reference does).
-        dirs: [B, 3] ray directions.
-        t_valid: hits at t ≤ this report zero radiance (reference :299).
-    Returns:
-        [B, 3] radiance (zero for misses/invalid hits).  Not differentiable
-        w.r.t. anything — lighting is detached in the reference too.
-    """
-    hit = cast_rays(tbl.bvh, points, dirs, t_min=0.0)
-    valid = jnp.isfinite(hit.t) & (hit.t > t_valid)
-
-    prim = jnp.where(valid, hit.prim, 0)
-    u = jnp.clip(hit.u, 0.0, 1.0)
-    v = jnp.clip(hit.v, 0.0, 1.0)
-
-    base = prim * 3
-    t0 = jnp.take(tbl.triangle_uvs, base, axis=0)
-    t1 = jnp.take(tbl.triangle_uvs, base + 1, axis=0)
-    t2 = jnp.take(tbl.triangle_uvs, base + 2, axis=0)
-    w0 = (1.0 - u - v)[..., None]
-    uv = t0 * w0 + t1 * u[..., None] + t2 * v[..., None]
-
-    radiance = bilinear_sample(tbl.texture, uv, boundary="clamp")
-    return jnp.where(valid[..., None], radiance, 0.0)
+    """AoS wrapper: points/dirs [B, 3] → radiance [B, 3]."""
+    out = query_tbl_soa(
+        tbl,
+        (points[..., 0], points[..., 1], points[..., 2]),
+        (dirs[..., 0], dirs[..., 1], dirs[..., 2]),
+        t_valid,
+    )
+    return jnp.stack(out, axis=-1)
 
 
 def query_tbl_multi(
@@ -130,9 +201,9 @@ def query_tbl_multi(
     dirs: jnp.ndarray,
     t_valid: float = 1e-4,
 ) -> jnp.ndarray:
-    """Batched-sample variant: points [B, 3], dirs [B, S, 3] → [B, S, 3]."""
+    """AoS batched-sample wrapper: points [B, 3], dirs [B, S, 3] → [B, S, 3]."""
     b, s, _ = dirs.shape
-    flat_pts = jnp.broadcast_to(points[:, None, :], (b, s, 3)).reshape(-1, 3)
-    flat_dirs = dirs.reshape(-1, 3)
-    out = query_tbl(tbl, flat_pts, flat_dirs, t_valid)
-    return out.reshape(b, s, 3)
+    pts = tuple(jnp.broadcast_to(points[:, None, k], (b, s)) for k in range(3))
+    dd = tuple(dirs[..., k] for k in range(3))
+    out = query_tbl_soa(tbl, pts, dd, t_valid)
+    return jnp.stack(out, axis=-1)

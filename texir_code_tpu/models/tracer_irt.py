@@ -26,9 +26,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from texir_code_tpu.models.tbl import TBL, query_tbl_multi
-from texir_code_tpu.ops.sampling import generate_dir
-from texir_code_tpu.ops.shading import irradiance_estimator
+from texir_code_tpu.models.tbl import TBL, query_tbl_soa
+from texir_code_tpu.ops.sampling import generate_dir_soa
+from texir_code_tpu.ops.shading import irradiance_estimator_soa
+
+
+def bake_irradiance_soa(
+    tbl: TBL,
+    points,
+    normals,
+    texel_ids: jnp.ndarray,
+    seed: jnp.ndarray,
+    spp: int,
+    surface_eps: float,
+):
+    """Core SoA bake: points/normals 3×[B] → irradiance 3×[B].
+
+    Shared by the single-chip baker and the shard_map'ped multi-chip baker —
+    per-texel RNG keys are derived from the *global* texel id, so any batch
+    split or device sharding yields bit-identical results."""
+    row_keys = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+    )(texel_ids)
+    dirs = generate_dir_soa(
+        normals, spp, jax.random.PRNGKey(seed), mode="uniform", row_keys=row_keys
+    )
+    b = points[0].shape[0]
+    origins = tuple(
+        jnp.broadcast_to(
+            (points[k] + surface_eps * normals[k])[:, None], (b, spp)
+        )
+        for k in range(3)
+    )
+    lighting = query_tbl_soa(tbl, origins, dirs)
+    return irradiance_estimator_soa(lighting, dirs, normals, spp)
 
 
 @dataclasses.dataclass
@@ -135,13 +166,27 @@ class IrradianceTextureBaker:
 
     @partial(jax.jit, static_argnames=("self",))
     def bake_batch(
-        self, points: jnp.ndarray, normals: jnp.ndarray, key: jax.Array
+        self,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        texel_ids: jnp.ndarray,
+        seed: jnp.ndarray,
     ) -> jnp.ndarray:
-        """Irradiance for one flat batch of texels: [B, 3] → [B, 3]."""
-        origins = points + self.surface_eps * normals
-        dirs = generate_dir(normals, self.spp, key, mode="uniform")
-        lighting = query_tbl_multi(self.tbl, origins, dirs)
-        return irradiance_estimator(lighting, dirs, normals, self.spp)
+        """Irradiance for one flat batch of texels: [B, 3] → [B, 3].
+
+        RNG is a pure function of (seed, global texel id), so results are
+        bit-identical however the texel axis is batched or sharded.  The
+        whole chain runs SoA (component arrays) — the [B·S, 3] layouts the
+        AoS form would materialize pad 3 → 128 lanes on TPU."""
+        return jnp.stack(
+            bake_irradiance_soa(
+                self.tbl,
+                tuple(points[:, k] for k in range(3)),
+                tuple(normals[:, k] for k in range(3)),
+                texel_ids, seed, self.spp, self.surface_eps,
+            ),
+            axis=-1,
+        )
 
     def bake(
         self,
@@ -166,11 +211,14 @@ class IrradianceTextureBaker:
             nrm = jnp.concatenate(
                 [nrm, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]
             )
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        ids = jnp.arange(nb * bs, dtype=jnp.int32)
         out = np.zeros((n + pad, 3), np.float32)
         for i in range(nb):
-            k = jax.random.fold_in(key, i)
             sl = slice(i * bs, (i + 1) * bs)
-            out[sl] = np.asarray(self.bake_batch(pts[sl], nrm[sl], k))
+            out[sl] = np.asarray(
+                self.bake_batch(pts[sl], nrm[sl], ids[sl], seed)
+            )
             if progress and i % 16 == 0:
                 print(f"bake: {i + 1}/{nb} batches")
         tex = np.zeros((res, res, 3), np.float32)

@@ -7,9 +7,15 @@ numpy, is traced by Open3D on CPU threads, and comes back
 only support cpu"; models/tracer_o3d_irrf.py:90-92;
 models/tracer_o3d_irt.py:243-244).  Here rays never leave the chip.
 
+Layout: everything on the hot path is **SoA** — per-component [B] arrays
+(ox, oy, oz, …) instead of [B, 3].  TPU tiles the two minor dims to (8, 128);
+an f32[B, 3] array pads 3 → 128 lanes (a 42× HBM blow-up that OOMs
+billion-ray bakes), while f32[B] tiles near-1×.  SoA also turns every
+cross/dot product into in-lane elementwise VPU ops with no shuffles.
+
 Contract (matches `o3d.t.geometry.RaycastingScene.cast_rays`):
 
-    cast_rays(bvh, origins, dirs) -> RayHit(t, prim, u, v)
+    cast_rays_soa(bvh, (ox,oy,oz), (dx,dy,dz)) -> RayHit(t, prim, u, v)
       t    : [B]  hit distance, +inf on miss
       prim : [B]  original face index (primitive_ids), -1 on miss
       u, v : [B]  barycentric coords of corners 1 and 2 (primitive_uvs):
@@ -17,13 +23,11 @@ Contract (matches `o3d.t.geometry.RaycastingScene.cast_rays`):
 
 Traversal is a lockstep `lax.while_loop` over the whole ray batch: one node
 index per ray, advanced by skip links (see geometry/bvh.py for the layout).
-Per iteration each ray performs one AABB slab test plus an unrolled
-`leaf_width`-wide Möller–Trumbore batch; all node/triangle accesses are XLA
-gathers from HBM.  No backface culling (Embree's default behavior, which the
-reference relies on for hemisphere rays that graze their own surface).
+No backface culling (Embree's default, which the reference relies on for
+hemisphere rays that graze their own surface).
 
-A brute-force all-triangles intersector is provided as the correctness
-oracle for tests and tiny scenes.
+`cast_rays` is the thin AoS ([B, 3]) wrapper; `cast_rays_brute` is the
+all-triangles correctness oracle.
 """
 
 from __future__ import annotations
@@ -41,28 +45,73 @@ from texir_code_tpu.geometry.bvh import FlatBVH
 _DET_EPS = 1e-12
 _BARY_EPS = 1e-7
 
+Vec3s = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+def to_soa(x: jnp.ndarray) -> Vec3s:
+    """[..., 3] → three [...] component arrays."""
+    return (x[..., 0], x[..., 1], x[..., 2])
+
+
+def from_soa(v: Vec3s) -> jnp.ndarray:
+    return jnp.stack(v, axis=-1)
+
+
+def soa_dot(a: Vec3s, b: Vec3s) -> jnp.ndarray:
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def soa_cross(a: Vec3s, b: Vec3s) -> Vec3s:
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def soa_sub(a: Vec3s, b: Vec3s) -> Vec3s:
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def soa_scale(a: Vec3s, s: jnp.ndarray) -> Vec3s:
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def soa_add(a: Vec3s, b: Vec3s) -> Vec3s:
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def soa_normalize(a: Vec3s, eps: float = 0.0) -> Vec3s:
+    inv = jax.lax.rsqrt(soa_dot(a, a) + 1e-20)
+    if eps:
+        n = jnp.sqrt(soa_dot(a, a))
+        inv = 1.0 / (n + eps)
+    return soa_scale(a, inv)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DeviceBVH:
-    """FlatBVH mirrored to device memory (a pytree of jnp arrays)."""
+    """FlatBVH mirrored to device memory in SoA layout (a pytree).
 
-    aabb_min: jnp.ndarray
-    aabb_max: jnp.ndarray
+    aabb: six [N] arrays; triangles: nine [M] arrays (Möller–Trumbore
+    precomputation); int arrays as in FlatBVH."""
+
+    bmin: Vec3s
+    bmax: Vec3s
     miss: jnp.ndarray
     leaf_start: jnp.ndarray
     leaf_count: jnp.ndarray
-    tri_p0: jnp.ndarray
-    tri_e1: jnp.ndarray
-    tri_e2: jnp.ndarray
+    p0: Vec3s
+    e1: Vec3s
+    e2: Vec3s
     tri_prim: jnp.ndarray
     leaf_width: int  # static
 
     def tree_flatten(self):
         leaves = (
-            self.aabb_min, self.aabb_max, self.miss, self.leaf_start,
-            self.leaf_count, self.tri_p0, self.tri_e1, self.tri_e2,
-            self.tri_prim,
+            self.bmin, self.bmax, self.miss, self.leaf_start, self.leaf_count,
+            self.p0, self.e1, self.e2, self.tri_prim,
         )
         return leaves, self.leaf_width
 
@@ -72,15 +121,18 @@ class DeviceBVH:
 
     @classmethod
     def from_flat(cls, bvh: FlatBVH) -> "DeviceBVH":
+        def cols(a):
+            return tuple(jnp.asarray(np.ascontiguousarray(a[:, k])) for k in range(3))
+
         return cls(
-            aabb_min=jnp.asarray(bvh.aabb_min),
-            aabb_max=jnp.asarray(bvh.aabb_max),
+            bmin=cols(bvh.aabb_min),
+            bmax=cols(bvh.aabb_max),
             miss=jnp.asarray(bvh.miss),
             leaf_start=jnp.asarray(bvh.leaf_start),
             leaf_count=jnp.asarray(bvh.leaf_count),
-            tri_p0=jnp.asarray(bvh.tri_p0),
-            tri_e1=jnp.asarray(bvh.tri_e1),
-            tri_e2=jnp.asarray(bvh.tri_e2),
+            p0=cols(bvh.tri_p0),
+            e1=cols(bvh.tri_e1),
+            e2=cols(bvh.tri_e2),
             tri_prim=jnp.asarray(bvh.tri_prim),
             leaf_width=bvh.leaf_width,
         )
@@ -101,25 +153,18 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _moller_trumbore(
-    o: jnp.ndarray,
-    d: jnp.ndarray,
-    p0: jnp.ndarray,
-    e1: jnp.ndarray,
-    e2: jnp.ndarray,
-    t_min: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched ray/triangle intersection. Shapes broadcast over leading dims.
-
-    Returns (hit_mask, t, u, v)."""
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
-    tvec = o - p0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+def _moller_trumbore_soa(
+    o: Vec3s, d: Vec3s, p0: Vec3s, e1: Vec3s, e2: Vec3s, t_min: float
+):
+    """Batched ray/triangle intersection in SoA. Returns (hit, t, u, v)."""
+    pvec = soa_cross(d, e2)
+    det = soa_dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = soa_sub(o, p0)
+    u = soa_dot(tvec, pvec) * inv_det
+    qvec = soa_cross(tvec, e1)
+    v = soa_dot(d, qvec) * inv_det
+    t = soa_dot(e2, qvec) * inv_det
     hit = (
         (jnp.abs(det) > _DET_EPS)
         & (u >= -_BARY_EPS)
@@ -128,21 +173,6 @@ def _moller_trumbore(
         & (t > t_min)
     )
     return hit, t, u, v
-
-
-def _slab_test(
-    o: jnp.ndarray,
-    inv_d: jnp.ndarray,
-    bmin: jnp.ndarray,
-    bmax: jnp.ndarray,
-    t_best: jnp.ndarray,
-    t_min: float,
-) -> jnp.ndarray:
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_best)
 
 
 def _safe_inv(d: jnp.ndarray) -> jnp.ndarray:
@@ -156,36 +186,54 @@ def _safe_inv(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok, 1.0 / jnp.where(ok, d, 1.0), 1e30)
 
 
+def _slab_test_soa(
+    o: Vec3s, inv_d: Vec3s, bmin: Vec3s, bmax: Vec3s,
+    t_best: jnp.ndarray, t_min: float,
+) -> jnp.ndarray:
+    tnear = jnp.full_like(t_best, -jnp.inf)
+    tfar = jnp.full_like(t_best, jnp.inf)
+    for k in range(3):
+        t0 = (bmin[k] - o[k]) * inv_d[k]
+        t1 = (bmax[k] - o[k]) * inv_d[k]
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+    return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_best)
+
+
+def _gather3(v: Vec3s, idx: jnp.ndarray) -> Vec3s:
+    return (
+        jnp.take(v[0], idx),
+        jnp.take(v[1], idx),
+        jnp.take(v[2], idx),
+    )
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
-def cast_rays(
+def cast_rays_soa(
     bvh: DeviceBVH,
-    origins: jnp.ndarray,
-    dirs: jnp.ndarray,
+    origins: Vec3s,
+    dirs: Vec3s,
     t_min: float = 0.0,
     max_iters: int = 0,
 ) -> RayHit:
-    """Trace a batch of rays against the BVH.
+    """Trace rays (SoA components of any equal shape) against the BVH.
 
     Args:
-        bvh: DeviceBVH.
-        origins: [B, 3] float32.
-        dirs: [B, 3] float32 (need not be normalized; t is in units of |dir|,
-            matching Open3D).
-        t_min: minimum hit distance (reference masks hits with t<=1e-4 at the
-            call sites, models/mat_nvdiffrast.py:299 — keep 0 here, mask there).
-        max_iters: optional hard bound on traversal iterations (0 = until all
-            rays terminate).
-
-    Returns:
-        RayHit with t=+inf / prim=-1 for misses.
+        origins / dirs: 3-tuples of same-shape float32 arrays (dirs need not
+            be normalized; t is in units of |dir|, matching Open3D).
+        t_min: minimum hit distance (reference masks t<=1e-4 at call sites).
+        max_iters: optional traversal bound (0 = until all rays terminate).
     """
-    b = origins.shape[0]
-    inv_d = _safe_inv(dirs)
+    shape = origins[0].shape
+    flat_o = tuple(o.reshape(-1) for o in origins)
+    flat_d = tuple(d.reshape(-1) for d in dirs)
+    inv_d = tuple(_safe_inv(d) for d in flat_d)
 
-    t_best0 = jnp.full((b,), jnp.inf, jnp.float32)
-    prim0 = jnp.full((b,), -1, jnp.int32)
-    uv0 = jnp.zeros((b,), jnp.float32)
-    node0 = jnp.zeros((b,), jnp.int32)
+    zero_f = flat_o[0] * 0.0
+    t_best0 = zero_f + jnp.inf
+    prim0 = zero_f.astype(jnp.int32) - 1
+    uv0 = zero_f
+    node0 = zero_f.astype(jnp.int32)
     it0 = jnp.zeros((), jnp.int32)
 
     def cond(state):
@@ -200,13 +248,13 @@ def cast_rays(
         active = node >= 0
         nidx = jnp.where(active, node, 0)
 
-        bmin = jnp.take(bvh.aabb_min, nidx, axis=0)
-        bmax = jnp.take(bvh.aabb_max, nidx, axis=0)
+        bmin = _gather3(bvh.bmin, nidx)
+        bmax = _gather3(bvh.bmax, nidx)
         ls = jnp.take(bvh.leaf_start, nidx)
         lc = jnp.take(bvh.leaf_count, nidx)
         ms = jnp.take(bvh.miss, nidx)
 
-        hit_box = _slab_test(origins, inv_d, bmin, bmax, t_best, t_min) & active
+        hit_box = _slab_test_soa(flat_o, inv_d, bmin, bmax, t_best, t_min) & active
         is_leaf = lc > 0
 
         do_leaf = hit_box & is_leaf
@@ -214,10 +262,10 @@ def cast_rays(
             tid = ls + j
             valid = do_leaf & (j < lc)
             safe_tid = jnp.where(valid, tid, 0)
-            p0 = jnp.take(bvh.tri_p0, safe_tid, axis=0)
-            e1 = jnp.take(bvh.tri_e1, safe_tid, axis=0)
-            e2 = jnp.take(bvh.tri_e2, safe_tid, axis=0)
-            hit, t, u, v = _moller_trumbore(origins, dirs, p0, e1, e2, t_min)
+            p0 = _gather3(bvh.p0, safe_tid)
+            e1 = _gather3(bvh.e1, safe_tid)
+            e2 = _gather3(bvh.e2, safe_tid)
+            hit, t, u, v = _moller_trumbore_soa(flat_o, flat_d, p0, e1, e2, t_min)
             closer = hit & valid & (t < t_best)
             t_best = jnp.where(closer, t, t_best)
             prim = jnp.where(closer, jnp.take(bvh.tri_prim, safe_tid), prim)
@@ -229,10 +277,24 @@ def cast_rays(
         node = jnp.where(active, nxt, -1)
         return node, t_best, prim, u_best, v_best, it + 1
 
-    _, t, prim, u, v = jax.lax.while_loop(
+    _, t, prim, u, v, _ = jax.lax.while_loop(
         cond, body, (node0, t_best0, prim0, uv0, uv0, it0)
-    )[:5]
-    return RayHit(t=t, prim=prim, u=u, v=v)
+    )
+    return RayHit(
+        t=t.reshape(shape), prim=prim.reshape(shape),
+        u=u.reshape(shape), v=v.reshape(shape),
+    )
+
+
+def cast_rays(
+    bvh: DeviceBVH,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    t_min: float = 0.0,
+    max_iters: int = 0,
+) -> RayHit:
+    """AoS convenience wrapper: origins/dirs [B, 3]."""
+    return cast_rays_soa(bvh, to_soa(origins), to_soa(dirs), t_min, max_iters)
 
 
 def cast_rays_brute(
@@ -259,23 +321,23 @@ def cast_rays_brute(
         e1 = jnp.concatenate([e1, jnp.zeros((pad, 3))])
         e2 = jnp.concatenate([e2, jnp.zeros((pad, 3))])
 
+    o = to_soa(origins[:, None, :])
+    d = to_soa(dirs[:, None, :])
+
     def body(c, state):
         t_best, prim, u_best, v_best = state
         sl = c * chunk
-        cp0 = jax.lax.dynamic_slice_in_dim(p0, sl, chunk)
-        ce1 = jax.lax.dynamic_slice_in_dim(e1, sl, chunk)
-        ce2 = jax.lax.dynamic_slice_in_dim(e2, sl, chunk)
-        hit, t, u, v = _moller_trumbore(
-            origins[:, None, :], dirs[:, None, :],
-            cp0[None, :, :], ce1[None, :, :], ce2[None, :, :], t_min,
-        )  # [B, chunk]
+        cp0 = to_soa(jax.lax.dynamic_slice_in_dim(p0, sl, chunk)[None, :, :])
+        ce1 = to_soa(jax.lax.dynamic_slice_in_dim(e1, sl, chunk)[None, :, :])
+        ce2 = to_soa(jax.lax.dynamic_slice_in_dim(e2, sl, chunk)[None, :, :])
+        hit, t, u, v = _moller_trumbore_soa(o, d, cp0, ce1, ce2, t_min)  # [B, chunk]
         fidx = sl + jnp.arange(chunk)
         hit = hit & (fidx[None, :] < f)
         t = jnp.where(hit, t, jnp.inf)
         best = jnp.argmin(t, axis=1)
-        bt = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
-        closer = bt < t_best
         sel = lambda arr: jnp.take_along_axis(arr, best[:, None], axis=1)[:, 0]
+        bt = sel(t)
+        closer = bt < t_best
         t_best = jnp.where(closer, bt, t_best)
         prim = jnp.where(closer, (sl + best).astype(jnp.int32), prim)
         u_best = jnp.where(closer, sel(u), u_best)

@@ -190,6 +190,62 @@ def specular_estimator(
     return jnp.sum(lighting * weight, axis=1)
 
 
+def irradiance_estimator_soa(
+    lighting,
+    light_dirs,
+    normal,
+    num_samples: int,
+):
+    """SoA irradiance: lighting 3×[B, S], dirs 3×[B, S], normal 3×[B]
+    → 3×[B].  Same estimator as irradiance_estimator."""
+    ndl = jnp.clip(
+        normal[0][:, None] * light_dirs[0]
+        + normal[1][:, None] * light_dirs[1]
+        + normal[2][:, None] * light_dirs[2],
+        0.0, 1.0,
+    )
+    scale = 2.0 * jnp.pi / num_samples
+    return tuple(jnp.sum(lighting[k] * ndl, axis=1) * scale for k in range(3))
+
+
+def specular_estimator_soa(
+    lighting,
+    half,
+    normal,
+    view,
+    light_dirs,
+    roughness: jnp.ndarray,
+):
+    """SoA Cook-Torrance specular: lighting/half/light_dirs 3×[B, S],
+    normal/view 3×[B], roughness [B] → 3×[B].  Same math as
+    specular_estimator (reference models/mat_nvdiffrast.py:260-279)."""
+
+    def bdot(a_b, b_bs):
+        return jnp.clip(
+            a_b[0][:, None] * b_bs[0]
+            + a_b[1][:, None] * b_bs[1]
+            + a_b[2][:, None] * b_bs[2],
+            0.0, 1.0,
+        )
+
+    vdh = bdot(view, half)
+    ndl = bdot(normal, light_dirs)
+    ndh = bdot(normal, half)
+    ndv = jnp.clip(
+        normal[0] * view[0] + normal[1] * view[1] + normal[2] * view[2], 0.0, 1.0
+    )[:, None]
+
+    f = fresnel_schlick_ue4(vdh)
+    r = roughness[:, None]
+    k = (r + 1.0) * (r + 1.0) / 8.0
+    g1_ndv = ndv / jnp.clip(ndv * (1.0 - k) + k, TINY_TINY_NUMBER, None)
+    g1_ndl = ndl / jnp.clip(ndl * (1.0 - k) + k, TINY_TINY_NUMBER, None)
+    g = g1_ndl * g1_ndv
+    brdf = f * g / jnp.clip(4.0 * ndl * ndv, TINY_TINY_NUMBER, None)
+    weight = brdf * ndl * 4.0 * vdh / jnp.clip(ndh, TINY_TINY_NUMBER, None)
+    return tuple(jnp.sum(lighting[k2] * weight, axis=1) for k2 in range(3))
+
+
 def irradiance_estimator(
     lighting: jnp.ndarray,
     light_dirs: jnp.ndarray,

@@ -1,0 +1,114 @@
+"""Sharded IrT baking: texel batches split across the device mesh.
+
+The bake is embarrassingly parallel over texels (2.1 G independent rays at
+reference scale) — each chip takes an equal slice of every batch via
+shard_map with no collectives; the host assembles the texture.  The BVH and
+atlas are replicated (a scan mesh's BVH + HDR atlas is tens of MB — far
+under per-chip HBM).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec
+
+from jax.experimental.shard_map import shard_map
+
+from texir_code_tpu.models.tbl import TBL
+from texir_code_tpu.models.tracer_irt import GeometryTextures, IrradianceTextureBaker
+
+
+from texir_code_tpu.parallel.mesh import RAY_AXIS, make_device_mesh
+
+
+class ShardedIrradianceBaker(IrradianceTextureBaker):
+    """IrT baker whose per-batch compute is shard_map-ped over texels.
+
+    Per-texel RNG is derived by fold_in of the *global* texel index, so the
+    result is bit-identical for any device count (determinism across
+    shardings).
+    """
+
+    def __init__(
+        self,
+        tbl: TBL,
+        spp: int = 2048,
+        texel_batch: int = 8192,
+        surface_eps: float = 1e-2,
+        mesh: Optional[Mesh] = None,
+    ):
+        super().__init__(tbl, spp=spp, texel_batch=texel_batch, surface_eps=surface_eps)
+        self.mesh = mesh if mesh is not None else make_device_mesh()
+        n = self.mesh.devices.size
+        if texel_batch % n:
+            raise ValueError(f"texel_batch {texel_batch} not divisible by {n} devices")
+        self._sharded = self._build(n)
+
+    def _build(self, n_devices: int):
+        spp = self.spp
+        eps = self.surface_eps
+        tbl = self.tbl
+
+        from texir_code_tpu.models.tracer_irt import bake_irradiance_soa
+
+        def device_fn(points, normals, texel_ids, seed):
+            # per-texel keys from the GLOBAL texel id → bit-identical to the
+            # single-device bake for any device count
+            out = bake_irradiance_soa(
+                tbl,
+                tuple(points[:, k] for k in range(3)),
+                tuple(normals[:, k] for k in range(3)),
+                texel_ids, seed, spp, eps,
+            )
+            return jnp.stack(out, axis=-1)
+
+        fn = shard_map(
+            device_fn,
+            mesh=self.mesh,
+            in_specs=(
+                PartitionSpec(RAY_AXIS),
+                PartitionSpec(RAY_AXIS),
+                PartitionSpec(RAY_AXIS),
+                PartitionSpec(),
+            ),
+            out_specs=PartitionSpec(RAY_AXIS),
+        )
+        return jax.jit(fn)
+
+    def bake(
+        self,
+        geom: GeometryTextures,
+        key: jax.Array,
+        progress: bool = False,
+    ) -> np.ndarray:
+        res = geom.position.shape[0]
+        vr, vc = np.nonzero(geom.valid)
+        pts = np.asarray(geom.position[vr, vc])
+        nrm = np.asarray(geom.normal[vr, vc])
+        n = pts.shape[0]
+        bs = self.texel_batch
+        nb = (n + bs - 1) // bs
+        pad = nb * bs - n
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+            nrm = np.concatenate(
+                [nrm, np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (pad, 1))]
+            )
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        out = np.zeros((n + pad, 3), np.float32)
+        ids = jnp.arange(nb * bs, dtype=jnp.int32)
+        for i in range(nb):
+            sl = slice(i * bs, (i + 1) * bs)
+            out[sl] = np.asarray(
+                self._sharded(jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids[sl], seed)
+            )
+            if progress and i % 16 == 0:
+                print(f"sharded bake: {i + 1}/{nb} batches")
+        tex = np.zeros((res, res, 3), np.float32)
+        tex[vr, vc] = out[:n]
+        return tex

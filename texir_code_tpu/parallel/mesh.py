@@ -1,0 +1,53 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-process / single-GPU (reference
+trainer/exp_runner.py:47-52 picks one GPU; no NCCL/MPI anywhere).  The
+scalability axis of this workload is *rays and texels* — the reference chunks
+them serially for memory (512-texel bake batches, 2000-pixel splits,
+models/tracer_o3d_irt.py:156-161, utils/general.py:28-41); here the same axis
+is sharded across TPU chips over ICI:
+
+  * bake: texel batches split across the mesh (embarrassingly parallel,
+    see parallel.bake).
+  * Mat training: pixels/rays sharded inside the jitted step via sharding
+    constraints; material atlases + BVH replicated; XLA inserts the psum
+    gradient all-reduce because params are replicated (the moral equivalent
+    of the NCCL all-reduce the reference never had).
+  * multi-host: the same program under jax.distributed.initialize — the mesh
+    spans hosts, DP stays on ICI within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+RAY_AXIS = "rays"
+
+
+def make_device_mesh(
+    n_devices: Optional[int] = None, axis_name: str = RAY_AXIS
+) -> Mesh:
+    """1-D mesh over the first `n_devices` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_along(mesh: Mesh, axis: int = 0, axis_name: str = RAY_AXIS) -> NamedSharding:
+    """NamedSharding that splits array dim `axis` across the mesh."""
+    spec = [None] * (axis + 1)
+    spec[axis] = axis_name
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
