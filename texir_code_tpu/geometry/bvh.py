@@ -30,6 +30,9 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+SUPERNODE_WIDTH = 48
+
+
 @dataclasses.dataclass
 class FlatBVH:
     """Flattened skip-link BVH + reordered triangle soup (all numpy, fp32/i32).
@@ -65,6 +68,39 @@ class FlatBVH:
     @property
     def num_nodes(self) -> int:
         return int(self.aabb_min.shape[0])
+
+    def pack_supernodes(self) -> np.ndarray:
+        """Pack each node (and, for leaves, its triangles) into one flat row.
+
+        TPU traversal is gather-throughput-bound (~0.2 G rows/s regardless of
+        row width — measured), so the hot loop must issue exactly ONE gather
+        per visited node.  Row layout ([N, 8+10·lw] float32, ints bitcast;
+        lw = leaf_width, default 4 → width 48):
+
+            [0:3]       aabb_min          [3:6] aabb_max
+            [6]         miss link (i32)   [7]   leaf_count (i32; 0 = inner)
+            [8 : 8+lw]  per-triangle prim id (i32)
+            [8+lw+9j : 8+lw+9j+9] triangle j: p0(3), e1(3), e2(3)
+        """
+        lw = self.leaf_width
+        width = 8 + 10 * lw
+        n = self.num_nodes
+        rows = np.zeros((n, width), np.float32)
+        rows[:, 0:3] = self.aabb_min
+        rows[:, 3:6] = self.aabb_max
+        rows[:, 6] = self.miss.view(np.float32)
+        rows[:, 7] = self.leaf_count.view(np.float32)
+        is_leaf = self.leaf_count > 0
+        leaf_rows = np.nonzero(is_leaf)[0]
+        starts = self.leaf_start[leaf_rows]
+        tbase = 8 + lw
+        for j in range(lw):
+            sl = starts + j
+            rows[leaf_rows, 8 + j] = self.tri_prim[sl].view(np.float32)
+            rows[leaf_rows, tbase + 9 * j : tbase + 9 * j + 3] = self.tri_p0[sl]
+            rows[leaf_rows, tbase + 9 * j + 3 : tbase + 9 * j + 6] = self.tri_e1[sl]
+            rows[leaf_rows, tbase + 9 * j + 6 : tbase + 9 * j + 9] = self.tri_e2[sl]
+        return rows
 
 
 _SAH_BINS = 16

@@ -92,28 +92,19 @@ def soa_normalize(a: Vec3s, eps: float = 0.0) -> Vec3s:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DeviceBVH:
-    """FlatBVH mirrored to device memory in SoA layout (a pytree).
+    """FlatBVH packed for device traversal (a pytree).
 
-    aabb: six [N] arrays; triangles: nine [M] arrays (Möller–Trumbore
-    precomputation); int arrays as in FlatBVH."""
+    `packed` is the [N, 48] supernode table (see FlatBVH.pack_supernodes):
+    one gather per visited node fetches the AABB, the skip link, and — for
+    leaves — all four triangles.  Gather throughput, not width, bounds the
+    traversal (measured ~0.2 G rows/s on v5e), so everything a visit needs
+    rides a single row."""
 
-    bmin: Vec3s
-    bmax: Vec3s
-    miss: jnp.ndarray
-    leaf_start: jnp.ndarray
-    leaf_count: jnp.ndarray
-    p0: Vec3s
-    e1: Vec3s
-    e2: Vec3s
-    tri_prim: jnp.ndarray
+    packed: jnp.ndarray
     leaf_width: int  # static
 
     def tree_flatten(self):
-        leaves = (
-            self.bmin, self.bmax, self.miss, self.leaf_start, self.leaf_count,
-            self.p0, self.e1, self.e2, self.tri_prim,
-        )
-        return leaves, self.leaf_width
+        return (self.packed,), self.leaf_width
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -121,19 +112,8 @@ class DeviceBVH:
 
     @classmethod
     def from_flat(cls, bvh: FlatBVH) -> "DeviceBVH":
-        def cols(a):
-            return tuple(jnp.asarray(np.ascontiguousarray(a[:, k])) for k in range(3))
-
         return cls(
-            bmin=cols(bvh.aabb_min),
-            bmax=cols(bvh.aabb_max),
-            miss=jnp.asarray(bvh.miss),
-            leaf_start=jnp.asarray(bvh.leaf_start),
-            leaf_count=jnp.asarray(bvh.leaf_count),
-            p0=cols(bvh.tri_p0),
-            e1=cols(bvh.tri_e1),
-            e2=cols(bvh.tri_e2),
-            tri_prim=jnp.asarray(bvh.tri_prim),
+            packed=jnp.asarray(bvh.pack_supernodes()),
             leaf_width=bvh.leaf_width,
         )
 
@@ -248,27 +228,30 @@ def cast_rays_soa(
         active = node >= 0
         nidx = jnp.where(active, node, 0)
 
-        bmin = _gather3(bvh.bmin, nidx)
-        bmax = _gather3(bvh.bmax, nidx)
-        ls = jnp.take(bvh.leaf_start, nidx)
-        lc = jnp.take(bvh.leaf_count, nidx)
-        ms = jnp.take(bvh.miss, nidx)
+        # the single gather per visited node
+        row = jnp.take(bvh.packed, nidx, axis=0)  # [B, 48]
+        col = lambda k: row[:, k]
+        bmin = (col(0), col(1), col(2))
+        bmax = (col(3), col(4), col(5))
+        ms = jax.lax.bitcast_convert_type(col(6), jnp.int32)
+        lc = jax.lax.bitcast_convert_type(col(7), jnp.int32)
 
         hit_box = _slab_test_soa(flat_o, inv_d, bmin, bmax, t_best, t_min) & active
         is_leaf = lc > 0
 
         do_leaf = hit_box & is_leaf
+        tri_base = 8 + bvh.leaf_width
         for j in range(bvh.leaf_width):
-            tid = ls + j
             valid = do_leaf & (j < lc)
-            safe_tid = jnp.where(valid, tid, 0)
-            p0 = _gather3(bvh.p0, safe_tid)
-            e1 = _gather3(bvh.e1, safe_tid)
-            e2 = _gather3(bvh.e2, safe_tid)
+            base = tri_base + 9 * j
+            p0 = (col(base), col(base + 1), col(base + 2))
+            e1 = (col(base + 3), col(base + 4), col(base + 5))
+            e2 = (col(base + 6), col(base + 7), col(base + 8))
             hit, t, u, v = _moller_trumbore_soa(flat_o, flat_d, p0, e1, e2, t_min)
             closer = hit & valid & (t < t_best)
             t_best = jnp.where(closer, t, t_best)
-            prim = jnp.where(closer, jnp.take(bvh.tri_prim, safe_tid), prim)
+            prim_j = jax.lax.bitcast_convert_type(col(8 + j), jnp.int32)
+            prim = jnp.where(closer, prim_j, prim)
             u_best = jnp.where(closer, u, u_best)
             v_best = jnp.where(closer, v, v_best)
 
