@@ -162,3 +162,24 @@ def test_atrous_denoise_preserves_edges():
     # edge magnitude preserved within 20%
     assert abs(out[:, 20:].mean() - 5.0) < 1.0
     assert out[:, :12].mean() < 0.5
+
+
+def test_fan_bake_matches_traversal_bake():
+    """The fan-path baker agrees with the traversal-path baker (same RNG)."""
+    from texir_code_tpu.geometry.bvh import build_bvh
+    from texir_code_tpu.ops.fan_raycast import FanScene
+
+    scene = make_scene(atlas_res=32, subdiv=2)
+    tbl = build_tbl(scene.mesh, scene.hdr_texture)
+    fan = FanScene.from_flat(build_bvh(scene.mesh.vertices, scene.mesh.faces))
+    geom = bake_geometry_textures(scene.mesh, 16)
+    key = jax.random.PRNGKey(5)
+    a = IrradianceTextureBaker(tbl, spp=64, texel_batch=64).bake(geom, key)
+    b = IrradianceTextureBaker(
+        tbl, spp=64, texel_batch=64, fan_scene=fan, max_leaves=8
+    ).bake(geom, key)  # tiny budget forces the exact-overflow path
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    c = IrradianceTextureBaker(
+        tbl, spp=64, texel_batch=64, fan_scene=fan, max_leaves=1024
+    ).bake(geom, key)
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-4)

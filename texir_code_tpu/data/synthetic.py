@@ -26,11 +26,11 @@ from texir_code_tpu.geometry.mesh import Mesh
 _WALL_NAMES = ("floor", "ceiling", "back", "front", "left", "right")
 
 
-def _cell_uv(face_idx: int, margin: float = 0.02) -> np.ndarray:
-    """[4, 2] uv corners of face chart `face_idx` in the 3×2 atlas grid."""
-    cx, cy = face_idx % 3, face_idx // 3
-    u0 = cx / 3.0 + margin
-    u1 = (cx + 1) / 3.0 - margin
+def _cell_uv(face_idx: int, margin: float = 0.02, grid: int = 3) -> np.ndarray:
+    """[4, 2] uv corners of face chart `face_idx` in the grid×2 atlas."""
+    cx, cy = face_idx % grid, face_idx // grid
+    u0 = cx / grid + margin
+    u1 = (cx + 1) / grid - margin
     v0 = cy / 2.0 + margin
     v1 = (cy + 1) / 2.0 - margin
     return np.array([[u0, v0], [u1, v0], [u1, v1], [u0, v1]], np.float32)
@@ -123,12 +123,12 @@ def make_room_mesh(
     return mesh
 
 
-def _chart_slice(face_idx: int, res: int) -> Tuple[slice, slice]:
+def _chart_slice(face_idx: int, res: int, grid: int = 3) -> Tuple[slice, slice]:
     """Texture rows/cols of face chart `face_idx` (v-up row order: row index
     grows with v)."""
-    cx, cy = face_idx % 3, face_idx // 3
+    cx, cy = face_idx % grid, face_idx // grid
     rows = slice(cy * res // 2, (cy + 1) * res // 2)
-    cols = slice(cx * res // 3, (cx + 1) * res // 3)
+    cols = slice(cx * res // grid, (cx + 1) * res // grid)
     return rows, cols
 
 
@@ -215,4 +215,145 @@ def make_scene(
         seg_texture=seg,
         lamp_radiance=lamp_radiance,
         size=size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-room variant (realistic occlusion for benchmarks and culling tests)
+# ---------------------------------------------------------------------------
+
+
+def _lattice_quad(vertices, faces, uvs, uv_faces, corners, uv4, subdiv):
+    """Append a subdiv×subdiv tessellated quad with bilinear uvs."""
+    n = subdiv
+    base = len(vertices)
+    ubase = len(uvs)
+    for iy in range(n + 1):
+        for ix in range(n + 1):
+            s, t = ix / n, iy / n
+            p = ((1 - s) * (1 - t) * corners[0] + s * (1 - t) * corners[1]
+                 + s * t * corners[2] + (1 - s) * t * corners[3])
+            q = ((1 - s) * (1 - t) * uv4[0] + s * (1 - t) * uv4[1]
+                 + s * t * uv4[2] + (1 - s) * t * uv4[3])
+            vertices.append(np.asarray(p, np.float32))
+            uvs.append(np.asarray(q, np.float32))
+    for iy in range(n):
+        for ix in range(n):
+            a = base + iy * (n + 1) + ix
+            b, c, d = a + 1, a + (n + 1) + 1, a + (n + 1)
+            ua = ubase + iy * (n + 1) + ix
+            ub, uc, ud = ua + 1, ua + (n + 1) + 1, ua + (n + 1)
+            faces.append([a, b, c]); faces.append([a, c, d])
+            uv_faces.append([ua, ub, uc]); uv_faces.append([ua, uc, ud])
+
+
+def make_apartment_scene(
+    atlas_res: int = 128,
+    lamp_radiance: float = 20.0,
+    size: Tuple[float, float, float] = (8.0, 3.0, 5.0),
+    seed: int = 666,
+    subdiv: int = 1,
+    clutter: int = 2,
+) -> SyntheticScene:
+    """Two-room apartment: the box room split by a divider wall with a
+    doorway, plus `clutter` boxes on the floor — the occlusion structure of
+    real scan data, where beam culling actually pays.  Atlas: 4×2 grid; cells
+    0-5 = outer walls, cell 6 = divider, cell 7 = clutter; a ceiling lamp per
+    room."""
+    rng = np.random.default_rng(seed)
+    sx, sy, sz = size
+    lo = np.zeros(3, np.float32)
+    hi = np.asarray(size, np.float32)
+
+    walls = [
+        [[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]], [lo[0], lo[1], hi[2]]],
+        [[lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]], [hi[0], hi[1], lo[2]]],
+        [[lo[0], lo[1], lo[2]], [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]], [hi[0], lo[1], lo[2]]],
+        [[lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]], [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]],
+        [[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]], [lo[0], hi[1], hi[2]], [lo[0], hi[1], lo[2]]],
+        [[hi[0], lo[1], lo[2]], [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]], [hi[0], lo[1], hi[2]]],
+    ]
+    vertices, faces, uvs, uv_faces, chart_of_face = [], [], [], [], []
+
+    def add(corners, chart, sub):
+        before = len(faces)
+        _lattice_quad(vertices, faces, uvs, uv_faces,
+                      np.asarray(corners, np.float32), _cell_uv(chart, grid=4), sub)
+        chart_of_face.extend([chart] * (len(faces) - before))
+
+    for k, c in enumerate(walls):
+        add(c, k, subdiv)
+    n_outer_faces = len(faces)
+
+    # divider at x = 0.55·sx, doorway gap for z in [0.72·sz, 0.95·sz]
+    dx = 0.55 * sx
+    zdoor = 0.72 * sz
+    add([[dx, 0, 0], [dx, sy, 0], [dx, sy, zdoor], [dx, 0, zdoor]], 6,
+        max(subdiv, 1))
+    # header above the doorway
+    add([[dx, 0.75 * sy, zdoor], [dx, sy, zdoor], [dx, sy, 0.95 * sz],
+         [dx, 0.75 * sy, 0.95 * sz]], 6, max(subdiv // 2, 1))
+
+    for b in range(clutter):
+        cx = (0.15 + 0.6 * rng.random()) * sx
+        cz = (0.15 + 0.6 * rng.random()) * sz
+        w, h, dpt = 0.4 + 0.4 * rng.random(), 0.5 + 0.5 * rng.random(), 0.4 + 0.4 * rng.random()
+        x0, x1 = cx, min(cx + w, sx - 0.05)
+        z0, z1 = cz, min(cz + dpt, sz - 0.05)
+        quads = [
+            [[x0, 0, z0], [x1, 0, z0], [x1, h, z0], [x0, h, z0]],
+            [[x0, 0, z1], [x0, h, z1], [x1, h, z1], [x1, 0, z1]],
+            [[x0, 0, z0], [x0, h, z0], [x0, h, z1], [x0, 0, z1]],
+            [[x1, 0, z0], [x1, 0, z1], [x1, h, z1], [x1, h, z0]],
+            [[x0, h, z0], [x1, h, z0], [x1, h, z1], [x0, h, z1]],
+        ]
+        for q in quads:
+            add(q, 7, max(subdiv // 4, 1))
+
+    mesh = Mesh(
+        vertices=np.asarray(vertices, np.float32),
+        faces=np.asarray(faces, np.int32),
+        uvs=np.asarray(uvs, np.float32),
+        uv_faces=np.asarray(uv_faces, np.int32),
+    )
+    # orient only the outer shell inward; interior geometry keeps its winding
+    shell = np.zeros(mesh.num_faces, bool)
+    shell[:n_outer_faces] = True
+    tri = mesh.triangle_corners()
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    to_c = (lo + hi)[None, :] / 2 - tri.mean(axis=1)
+    flip = ((n * to_c).sum(-1) < 0) & shell
+    mesh.faces[flip] = mesh.faces[flip][:, [0, 2, 1]]
+    mesh.uv_faces[flip] = mesh.uv_faces[flip][:, [0, 2, 1]]
+    mesh.compute_vertex_normals()
+
+    wall_colors = np.array(
+        [[0.60, 0.55, 0.50], [0.85, 0.85, 0.85], [0.70, 0.30, 0.30],
+         [0.30, 0.70, 0.35], [0.75, 0.75, 0.45], [0.45, 0.55, 0.80],
+         [0.80, 0.72, 0.60], [0.50, 0.35, 0.25]], np.float32)
+    wall_rough = np.array([0.5, 0.7, 0.35, 0.6, 0.25, 0.45, 0.55, 0.3], np.float32)
+
+    r = atlas_res
+    hdr = np.zeros((r, r, 3), np.float32)
+    gt_albedo = np.zeros((r, r, 3), np.float32)
+    gt_rough = np.full((r, r, 1), 0.5, np.float32)
+    seg = np.zeros((r, r), np.int32)
+    for k in range(8):
+        rows, cols = _chart_slice(k, r, grid=4)
+        noise = 1.0 + 0.1 * rng.standard_normal(
+            (rows.stop - rows.start, cols.stop - cols.start, 1))
+        hdr[rows, cols] = wall_colors[k] * 0.3 * noise
+        gt_albedo[rows, cols] = wall_colors[k]
+        gt_rough[rows, cols] = wall_rough[k]
+        seg[rows, cols] = k
+    # one lamp per room on the ceiling chart (cell 1): u spans the x axis
+    rows, cols = _chart_slice(1, r, grid=4)
+    h0 = (rows.start + rows.stop) // 2
+    for ufrac in (0.28, 0.78):
+        w0 = int(cols.start + ufrac * (cols.stop - cols.start))
+        hdr[h0 - r // 48 : h0 + r // 48, w0 - r // 48 : w0 + r // 48] = lamp_radiance
+
+    return SyntheticScene(
+        mesh=mesh, hdr_texture=hdr, gt_albedo=gt_albedo, gt_roughness=gt_rough,
+        seg_texture=seg, lamp_radiance=lamp_radiance, size=size,
     )

@@ -134,23 +134,9 @@ def _bilinear_planes(
     return tuple(outs)
 
 
-def query_tbl_soa(
-    tbl: TBL,
-    points: Vec3s,
-    dirs: Vec3s,
-    t_valid: float = 1e-4,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Incident radiance along rays, fully SoA (the fused `query_irf`).
-
-    Args:
-        points: 3×[...] ray origins (pre-offset by ε·normal at call sites).
-        dirs: 3×[...] ray directions (same shape as points).
-        t_valid: hits at t ≤ this report zero radiance (reference :299).
-    Returns:
-        (r, g, b) planes shaped like points[0]; zero for misses.  Not
-        differentiable — lighting is detached in the reference too.
-    """
-    hit = cast_rays_soa(tbl.bvh, points, dirs, t_min=0.0)
+def radiance_from_hit(tbl: TBL, hit, t_valid: float = 1e-4):
+    """Hit record → emitted radiance: per-corner uv lerp + bilinear atlas
+    fetch, masked for misses and sub-epsilon hits (reference :299-318)."""
     valid = jnp.isfinite(hit.t) & (hit.t > t_valid)
 
     prim = jnp.where(valid, hit.prim, 0)
@@ -177,6 +163,63 @@ def query_tbl_soa(
         jnp.where(valid, g, z),
         jnp.where(valid, b, z),
     )
+
+
+def query_tbl_soa(
+    tbl: TBL,
+    points: Vec3s,
+    dirs: Vec3s,
+    t_valid: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Incident radiance along rays, fully SoA (the fused `query_irf`).
+
+    Args:
+        points: 3×[...] ray origins (pre-offset by ε·normal at call sites).
+        dirs: 3×[...] ray directions (same shape as points).
+        t_valid: hits at t ≤ this report zero radiance (reference :299).
+    Returns:
+        (r, g, b) planes shaped like points[0]; zero for misses.  Not
+        differentiable — lighting is detached in the reference too.
+    """
+    hit = cast_rays_soa(tbl.bvh, points, dirs, t_min=0.0)
+    return radiance_from_hit(tbl, hit, t_valid)
+
+
+def query_tbl_fans(
+    tbl: TBL,
+    fan_scene,
+    origins: Vec3s,
+    dirs: Vec3s,
+    fan_normals: Vec3s = None,
+    t_valid: float = 1e-4,
+    max_leaves: int = 512,
+    exact: bool = True,
+):
+    """Fan-structured TBL query: T shared origins × R directions.
+
+    The bake / primary-visibility fast path (see ops.fan_raycast).
+
+    Args:
+        origins: 3×[T]; dirs: 3×[T, R]; fan_normals: optional hemisphere axes
+            for tangent-plane culling.
+        exact: re-trace overflowing fans with the skip-link traversal
+            (host sync per call); False = flag-and-ignore (benchmarks only).
+    Returns:
+        (r, g, b) each [T, R].
+    """
+    from texir_code_tpu.ops.fan_raycast import cast_ray_fans, cast_ray_fans_exact
+
+    if exact:
+        hit = cast_ray_fans_exact(
+            fan_scene, tbl.bvh, origins, dirs, t_min=0.0,
+            max_leaves=max_leaves, fan_normals=fan_normals,
+        )
+    else:
+        hit = cast_ray_fans(
+            fan_scene, origins, dirs, t_min=0.0, max_leaves=max_leaves,
+            fan_normals=fan_normals,
+        )
+    return radiance_from_hit(tbl, hit, t_valid)
 
 
 def query_tbl(

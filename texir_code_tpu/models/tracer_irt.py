@@ -39,12 +39,21 @@ def bake_irradiance_soa(
     seed: jnp.ndarray,
     spp: int,
     surface_eps: float,
+    fan_scene=None,
+    max_leaves: int = 768,
+    exact: bool = True,
 ):
     """Core SoA bake: points/normals 3×[B] → irradiance 3×[B].
 
     Shared by the single-chip baker and the shard_map'ped multi-chip baker —
     per-texel RNG keys are derived from the *global* texel id, so any batch
-    split or device sharding yields bit-identical results."""
+    split or device sharding yields bit-identical results.
+
+    With `fan_scene` the rays go through the shared-origin fan tracer with
+    tangent-plane culling (each texel is one fan); otherwise the skip-link
+    per-ray traversal."""
+    from texir_code_tpu.models.tbl import query_tbl_fans
+
     row_keys = jax.vmap(
         lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
     )(texel_ids)
@@ -52,13 +61,20 @@ def bake_irradiance_soa(
         normals, spp, jax.random.PRNGKey(seed), mode="uniform", row_keys=row_keys
     )
     b = points[0].shape[0]
-    origins = tuple(
-        jnp.broadcast_to(
-            (points[k] + surface_eps * normals[k])[:, None], (b, spp)
+    if fan_scene is not None:
+        origins = tuple(points[k] + surface_eps * normals[k] for k in range(3))
+        lighting = query_tbl_fans(
+            tbl, fan_scene, origins, dirs, fan_normals=normals,
+            max_leaves=max_leaves, exact=exact,
         )
-        for k in range(3)
-    )
-    lighting = query_tbl_soa(tbl, origins, dirs)
+    else:
+        origins = tuple(
+            jnp.broadcast_to(
+                (points[k] + surface_eps * normals[k])[:, None], (b, spp)
+            )
+            for k in range(3)
+        )
+        lighting = query_tbl_soa(tbl, origins, dirs)
     return irradiance_estimator_soa(lighting, dirs, normals, spp)
 
 
@@ -150,6 +166,8 @@ class IrradianceTextureBaker:
         spp: int = 2048,
         texel_batch: int = 4096,
         surface_eps: float = 1e-2,
+        fan_scene=None,
+        max_leaves: int = 768,
     ):
         """Args:
             tbl: lighting scene.
@@ -158,13 +176,52 @@ class IrradianceTextureBaker:
             texel_batch: texels processed per device step (the reference's
                 512-texel batches, sized up for TPU occupancy).
             surface_eps: ray-origin offset along the normal.
+            fan_scene: optional ops.fan_raycast.FanScene enabling the
+                shared-origin fan fast path (one fan per texel).
+            max_leaves: fan-path per-texel leaf budget.
         """
         self.tbl = tbl
         self.spp = spp
         self.texel_batch = texel_batch
         self.surface_eps = surface_eps
+        self.fan_scene = fan_scene
+        self.max_leaves = max_leaves
 
     @partial(jax.jit, static_argnames=("self",))
+    def _bake_batch_traversal(self, points, normals, texel_ids, seed):
+        return jnp.stack(
+            bake_irradiance_soa(
+                self.tbl,
+                tuple(points[:, k] for k in range(3)),
+                tuple(normals[:, k] for k in range(3)),
+                texel_ids, seed, self.spp, self.surface_eps,
+            ),
+            axis=-1,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _fan_dirs(self, normals_soa, texel_ids, seed):
+        row_keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        )(texel_ids)
+        return generate_dir_soa(
+            normals_soa, self.spp, jax.random.PRNGKey(seed), mode="uniform",
+            row_keys=row_keys,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _fan_estimate(self, hit_t, hit_prim, hit_u, hit_v, dirs, normals_soa):
+        from texir_code_tpu.models.tbl import radiance_from_hit
+        from texir_code_tpu.ops.raycast import RayHit
+
+        lighting = radiance_from_hit(
+            self.tbl, RayHit(t=hit_t, prim=hit_prim, u=hit_u, v=hit_v)
+        )
+        return jnp.stack(
+            irradiance_estimator_soa(lighting, dirs, normals_soa, self.spp),
+            axis=-1,
+        )
+
     def bake_batch(
         self,
         points: jnp.ndarray,
@@ -177,16 +234,25 @@ class IrradianceTextureBaker:
         RNG is a pure function of (seed, global texel id), so results are
         bit-identical however the texel axis is batched or sharded.  The
         whole chain runs SoA (component arrays) — the [B·S, 3] layouts the
-        AoS form would materialize pad 3 → 128 lanes on TPU."""
-        return jnp.stack(
-            bake_irradiance_soa(
-                self.tbl,
-                tuple(points[:, k] for k in range(3)),
-                tuple(normals[:, k] for k in range(3)),
-                texel_ids, seed, self.spp, self.surface_eps,
-            ),
-            axis=-1,
+        AoS form would materialize pad 3 → 128 lanes on TPU.
+
+        When a fan scene is configured, each texel becomes one shared-origin
+        ray fan (tangent-plane culled, exact via overflow fallback)."""
+        if self.fan_scene is None:
+            return self._bake_batch_traversal(points, normals, texel_ids, seed)
+
+        from texir_code_tpu.ops.fan_raycast import cast_ray_fans_exact
+
+        nrm = tuple(normals[:, k] for k in range(3))
+        dirs = self._fan_dirs(nrm, texel_ids, seed)
+        origins = tuple(
+            points[:, k] + self.surface_eps * normals[:, k] for k in range(3)
         )
+        hit = cast_ray_fans_exact(
+            self.fan_scene, self.tbl.bvh, origins, dirs, t_min=0.0,
+            max_leaves=self.max_leaves, fan_normals=nrm,
+        )
+        return self._fan_estimate(hit.t, hit.prim, hit.u, hit.v, dirs, nrm)
 
     def bake(
         self,
