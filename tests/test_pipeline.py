@@ -1,0 +1,135 @@
+"""End-to-end pipeline: export synthetic dataset → IRRF train → IrT bake →
+Mat 3-substage train, all through the stage runners and config system."""
+
+import os
+
+import numpy as np
+import pytest
+
+from texir_code_tpu.config import parse_string
+from texir_code_tpu.data.export import export_reference_layout
+from texir_code_tpu.data.synthetic import make_scene
+
+
+CONF_TEMPLATE = """
+train{{
+    expname = test
+    dataset_class = datasets.dataset.ImageCubeDerived
+    model_class = models.mat_nvdiffrast.MaterialModel
+    irf_loss_class = models.loss.RenderLoss
+    plot_freq = 100000
+    ckpt_freq = 100000
+    mat_epoch = 1
+    mat_learning_rate = 3e-2
+    mat_sched_step = 20
+    mat_sched_factor = 0.8
+    irf_learning_rate = 1e-3
+    irf_sched_step = 800
+    irf_sched_factor = 0.8
+    irf_epoch = 2
+    is_hdr_texture = True
+    std_jit = 5e-2
+    hdr_exposure = 0.0
+    pano_img_res = [32, 64]
+    sample_light = [64, 4]
+    env_res = [8, 16]
+    val_sample_res = [8, 16]
+    samples_point_mesh = 64
+    batch_size = 16
+    path_mesh_open3d = {mesh}
+    results = {results}
+}}
+val{{
+    dataset_class = datasets.dataset.ImageMeshPoint
+    env_res = [8, 16]
+    batch_size = 64
+}}
+irf_loss{{ loss_type = L1 }}
+render_loss{{ loss_type = L1
+    w_gradient = 1 }}
+models{{
+    render{{ sample_type = [ uniform, importance] }}
+    irrf_network{{
+        points_multires = 4
+        dims = [64, 64]
+        p_input_dim = 3
+        p_out_dim = 3
+    }}
+}}
+"""
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory):
+    scene = make_scene(atlas_res=48)
+    root = str(tmp_path_factory.mktemp("pipe"))
+    path_mesh = export_reference_layout(scene, root, n_views=2, pano_res=(32, 64))
+    conf = parse_string(
+        CONF_TEMPLATE.format(mesh=path_mesh, results=os.path.join(root, "results"))
+    )
+    exps = os.path.join(root, "exps")
+    return scene, root, path_mesh, conf, exps
+
+
+def test_irrf_runner(pipeline_env):
+    from texir_code_tpu.train.irrf import IRRFTrainRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    runner = IRRFTrainRunner(conf, expname="t", exps_root=exps)
+    params = runner.run()
+    assert params is not None
+    # validation renders a finite pano
+    pred, gt = runner.validate(0)
+    assert np.isfinite(pred).all() and np.isfinite(gt).all()
+    assert gt.max() > 0
+    # checkpoint resume path
+    from texir_code_tpu.train.irrf import IRRFTrainRunner as R2
+
+    r2 = R2(conf, expname="t", exps_root=exps, is_continue=True)
+    assert r2.start_epoch > 0
+
+
+def test_irt_runner_and_artifacts(pipeline_env):
+    from texir_code_tpu.train.irt import IrrTextureRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    runner = IrrTextureRunner(
+        conf, expname="t", exps_root=exps, texture_res=24, use_fan=True
+    )
+    tex = runner.run()
+    assert np.isfinite(tex).all()
+    assert tex.max() > 0
+    assert os.path.exists(path_mesh.replace("out1.obj", "0_irr_texture.hdr"))
+    assert os.path.exists(path_mesh.replace("out1.obj", "irt.hdr"))
+    # after padding, no black seams remain
+    assert (tex.sum(-1) > 0).mean() > 0.99
+
+
+def test_mat_runner(pipeline_env):
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    # requires irt.hdr from the previous test; regenerate if missing
+    if not os.path.exists(path_mesh.replace("out1.obj", "irt.hdr")):
+        from texir_code_tpu.train.irt import IrrTextureRunner
+
+        IrrTextureRunner(conf, expname="t", exps_root=exps, texture_res=24).run()
+
+    runner = MatTrainRunner(
+        conf, expname="t", exps_root=exps, albedo_res=32, roughness_res=32
+    )
+    params = runner.run()
+    a = np.asarray(params.albedo)
+    r = np.asarray(params.roughness)
+    assert np.isfinite(a).all() and np.isfinite(r).all()
+    assert (r >= 1e-2 - 1e-6).all() and (r <= 0.8 + 1e-6).all()
+    assert (a >= 0).all()
+    # training moved the albedo away from its 0.5 init
+    assert np.abs(a - 0.5).max() > 1e-3
+    # artifacts for the testers
+    plots = runner.exp.plots_dir
+    assert os.path.exists(os.path.join(plots, "mat_albedo_final.hdr"))
+    assert os.path.exists(os.path.join(plots, "mat_roughness_final.hdr"))
+    # metrics finite
+    m = runner.render_calculate(2)
+    assert np.isfinite(m["psnr"])

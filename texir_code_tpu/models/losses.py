@@ -385,7 +385,12 @@ def render_loss(
     if stage == 1:
         assert highlight is not None and seg_region is not None
         m = highlight * seg_region
-        direct = fn(hdr_scale(gt_img * m), hdr_scale(pred_img * m)) * (h * w)
+        # the reference evaluates this L1 over a [num_classes, ...] one-hot
+        # expansion (models/loss.py:101) — disjoint class masks make that the
+        # union-masked L1 divided by num_classes
+        direct = fn(hdr_scale(gt_img * m), hdr_scale(pred_img * m)) * (
+            h * w / num_classes
+        )
         # NOTE: the reference passes empty_mask as valid_mask but its active
         # code path never uses it (models/loss.py:243 vs :268) — omit it here.
         seg = seg_loss(
@@ -395,7 +400,10 @@ def render_loss(
         return direct + seg, seg
     if stage == 2:
         assert seg_region is not None
-        direct = fn(hdr_scale(gt_img * seg_region), hdr_scale(pred_img * seg_region))
+        # same one-hot-expansion normalization as stage 1 (models/loss.py:110)
+        direct = fn(
+            hdr_scale(gt_img * seg_region), hdr_scale(pred_img * seg_region)
+        ) / num_classes
         seg = seg_loss(
             preds["roughness"], seg_id, num_classes, mode=2,
             room_id=room_id if room_id is not None else jnp.zeros_like(seg_id),

@@ -1,0 +1,200 @@
+"""IRRF stage runner — NIrF training loop.
+
+Rebuild of reference trainer/train_irrf.py:28-276: per epoch, resample
+surface points, trace MC irradiance ground truth against the TBL, fit the
+log-domain MLP; periodically validate by rendering an irradiance pano of a
+fixed view (GT traced once and cached, :187-231) and checkpoint.
+
+Config knobs honored (reference configs/irrf_hdrhouse.conf): irf_epoch,
+irf_learning_rate, irf_sched_step/factor (StepLR → staircase exponential
+decay over optimizer steps), samples_point_mesh, batch_size, env_res,
+val_sample_res, std_jit, hdr_exposure, is_hdr_texture, plot_freq, ckpt_freq.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from texir_code_tpu.config import Config
+from texir_code_tpu.data import hdrio
+from texir_code_tpu.data.datasets import ImageMeshPoint, MeshPoint
+from texir_code_tpu.train import checkpoints as ckpt
+from texir_code_tpu.train.exp import ExperimentDir, seed_everything
+
+
+class IRRFTrainRunner:
+    def __init__(
+        self,
+        conf: Config,
+        expname: str = "default",
+        exps_root: str = "exps",
+        is_continue: bool = False,
+        timestamp: Optional[str] = None,
+        conf_path: Optional[str] = None,
+        max_epochs: Optional[int] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from texir_code_tpu.geometry import load_obj
+        from texir_code_tpu.models.losses import irf_loss
+        from texir_code_tpu.models.fields import MatNetwork
+        from texir_code_tpu.models.tbl import build_tbl
+        from texir_code_tpu.models.tracer_irrf import TracerIRRF
+
+        self.conf = conf
+        self.expname = expname
+        self.exp = ExperimentDir(
+            exps_root, "IRRF", expname, is_continue, timestamp, conf_path
+        )
+        self.writer = self.exp.writer()
+        self.key = seed_everything(666)
+
+        path_mesh = conf.get_string("train.path_mesh_open3d")
+        self.path_mesh = path_mesh
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+        mesh = load_obj(path_mesh)
+        if conf.get_bool("train.is_hdr_texture", default=True):
+            tex = hdrio.read_hdr(
+                path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
+            )
+        else:
+            tex = hdrio.read_image(path_mesh.replace("out1.obj", "texture.png")) ** 2.2
+        tbl = build_tbl(mesh, tex, hdr_exposure)
+
+        net_conf = conf.get_config("models.irrf_network")
+        network = MatNetwork(
+            points_multires=net_conf.get_int("points_multires", default=10),
+            dims=tuple(net_conf.get_list("dims", default=[512] * 4)),
+            p_out_dim=net_conf.get_int("p_out_dim", default=3),
+        )
+        self.model = TracerIRRF(
+            tbl, network, std_jit=conf.get_float("train.std_jit", default=5e-2)
+        )
+
+        self.train_dataset = MeshPoint(
+            path_mesh,
+            num_sample=conf.get_int("train.samples_point_mesh", default=1024),
+        )
+        self.batch_size = conf.get_int("train.batch_size", default=16)
+        self.env_res = tuple(conf.get_list("train.env_res", default=[32, 64]))
+        self.val_res = tuple(conf.get_list("val.env_res", default=[64, 128]))
+        self.nepochs = max_epochs or conf.get_int("train.irf_epoch", default=4000)
+        self.plot_freq = conf.get_int("train.plot_freq", default=10000)
+        self.ckpt_freq = conf.get_int("train.ckpt_freq", default=20000)
+
+        lr = conf.get_float("train.irf_learning_rate", default=1e-4)
+        sched_step = conf.get_int("train.irf_sched_step", default=800)
+        factor = conf.get_float("train.irf_sched_factor", default=0.8)
+        steps_per_epoch = max(1, len(self.train_dataset) // self.batch_size)
+        schedule = optax.exponential_decay(
+            lr, transition_steps=sched_step * steps_per_epoch,
+            decay_rate=factor, staircase=True,
+        )
+        self.optimizer = optax.adam(schedule)
+
+        self.params = self.model.init_params(self.key)
+        self.opt_state = self.optimizer.init(self.params)
+        self.start_epoch = 0
+        if self.exp.continued:
+            restored = ckpt.restore_checkpoint(
+                self.exp.checkpoints_dir,
+                {"params": self.params, "opt_state": self.opt_state, "epoch": 0},
+            )
+            if restored is not None:
+                self.params = restored["params"]
+                self.opt_state = restored["opt_state"]
+                self.start_epoch = int(restored["epoch"]) + 1
+
+        # jitted train step
+        model = self.model
+        env_res = self.env_res
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, points, normals, key):
+            gt = model.trace_gt(points, normals, env_res, key)
+
+            def loss_fn(p):
+                pred = model.network.apply(p, points)
+                return irf_loss(gt, pred, conf.get_string("irf_loss.loss_type", default="L1"))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._train_step = jax.jit(train_step)
+        self._val_gt = None
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int):
+        """Render an irradiance pano of the fixed val view; trace GT once and
+        cache it (reference :187-231)."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.ops.shading import hdr_recover
+
+        val = ImageMeshPoint(self.path_mesh, env_res=self.val_res)
+        h, w = self.val_res
+        if self._val_gt is None:
+            gts = []
+            for batch in val.batches(512):
+                k = jax.random.fold_in(self.key, len(gts))
+                gts.append(
+                    np.asarray(
+                        self.model.trace_gt(
+                            jnp.asarray(batch["points"]),
+                            jnp.asarray(batch["normals"]),
+                            tuple(self.conf.get_list("train.val_sample_res", default=[32, 64])),
+                            k,
+                        )
+                    )
+                )
+            self._val_gt = np.concatenate(gts).reshape(h, w, 3)
+        pred = np.asarray(
+            hdr_recover(self.model.network.apply(self.params, jnp.asarray(val.points)))
+        ).reshape(h, w, 3)
+        hdrio.plot_irf(
+            os.path.join(self.exp.plots_dir, f"irrf_{epoch}.hdr"), pred, self._val_gt
+        )
+        return pred, self._val_gt
+
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+
+        cur_iter = 0
+        for epoch in range(self.start_epoch, self.nepochs + 1):
+            self.train_dataset.change_points()  # reference :238
+            for bi, batch in enumerate(self.train_dataset.batches(self.batch_size)):
+                t0 = time.time()
+                k = jax.random.fold_in(self.key, cur_iter)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]), k,
+                )
+                if cur_iter % 50 == 0:
+                    print(
+                        f"{self.expname} [{epoch}] ({bi}): irf_loss = "
+                        f"{float(loss):.6f}, batch cost time: {time.time()-t0:.4f}s"
+                    )
+                    self.writer.add_scalar("irf_loss", float(loss), cur_iter)
+                if cur_iter % self.plot_freq == 0 and cur_iter > 0:
+                    self.validate(epoch)
+                cur_iter += 1
+            if epoch % max(self.ckpt_freq // max(1, len(self.train_dataset) // self.batch_size), 1) == 0:
+                ckpt.save_checkpoint(
+                    self.exp.checkpoints_dir, epoch,
+                    {"params": self.params, "opt_state": self.opt_state, "epoch": epoch},
+                )
+        ckpt.save_checkpoint(
+            self.exp.checkpoints_dir, self.nepochs,
+            {"params": self.params, "opt_state": self.opt_state, "epoch": self.nepochs},
+        )
+        return self.params

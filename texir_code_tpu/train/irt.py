@@ -1,0 +1,95 @@
+"""IrrT stage runner — one-shot irradiance-texture bake.
+
+Rebuild of reference trainer/generate_ir_texture.py:31-82 plus the offline
+padding/denoise tool (tools/padding_texture.py:49-87), fused into one runner:
+bake → seam padding (distance transform) → denoise (à-trous) → write both
+`0_irr_texture.hdr` (raw, next to the mesh, like the reference) and `irt.hdr`
+(the padded/denoised texture the Mat stage loads,
+models/mat_nvdiffrast.py:73).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from texir_code_tpu.config import Config
+from texir_code_tpu.data import hdrio
+from texir_code_tpu.train.exp import ExperimentDir, seed_everything
+
+
+class IrrTextureRunner:
+    def __init__(
+        self,
+        conf: Config,
+        expname: str = "default",
+        exps_root: str = "exps",
+        is_continue: bool = False,
+        timestamp: Optional[str] = None,
+        conf_path: Optional[str] = None,
+        texture_res: int = 1024,
+        use_fan: bool = True,
+        denoise: bool = True,
+    ):
+        from texir_code_tpu.geometry import load_obj
+        from texir_code_tpu.geometry.bvh import build_bvh
+        from texir_code_tpu.models.tbl import build_tbl
+        from texir_code_tpu.models.tracer_irt import (
+            IrradianceTextureBaker,
+            bake_geometry_textures,
+        )
+        from texir_code_tpu.ops.fan_raycast import FanScene
+
+        self.conf = conf
+        self.exp = ExperimentDir(
+            exps_root, "IrrT", expname, is_continue, timestamp, conf_path
+        )
+        self.key = seed_everything(666)
+        self.denoise = denoise
+
+        self.path_mesh = conf.get_string("train.path_mesh_open3d")
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+        self.mesh = load_obj(self.path_mesh)
+        tex = hdrio.read_hdr(
+            self.path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
+        )
+        self.tbl = build_tbl(self.mesh, tex, hdr_exposure)
+
+        spp = conf.get_list("train.sample_light", default=[2048, 16])[0]
+        fan = None
+        if use_fan:
+            fb = build_bvh(self.mesh.vertices, self.mesh.faces)
+            fan = FanScene.from_flat(fb)
+        self.baker = IrradianceTextureBaker(
+            self.tbl, spp=int(spp), texel_batch=4096, fan_scene=fan,
+            max_leaves=fan.num_leaves if fan is not None else 768,
+        )
+        self.texture_res = texture_res
+        self._geom = bake_geometry_textures(self.mesh, texture_res)
+
+    def run(self) -> np.ndarray:
+        from texir_code_tpu.ops.postprocess import atrous_denoise, pad_texture
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        tex = self.baker.bake(self._geom, self.key, progress=True)
+        rays = int(self._geom.valid.sum()) * self.baker.spp
+        dt = time.time() - t0
+        print(
+            f"IrT bake: {rays/1e6:.1f} Mrays in {dt:.1f}s "
+            f"({rays/dt/1e6:.2f} Mrays/s)"
+        )
+        # raw bake next to the mesh, as the reference writes it (:78-82)
+        raw_path = self.path_mesh.replace("out1.obj", "0_irr_texture.hdr")
+        hdrio.write_hdr(raw_path, tex, flip=True)
+
+        padded = pad_texture(tex, self._geom.valid)
+        if self.denoise:
+            padded = np.asarray(atrous_denoise(jnp.asarray(padded)))
+        out_path = self.path_mesh.replace("out1.obj", "irt.hdr")
+        hdrio.write_hdr(out_path, padded, flip=True)
+        print(f"IrT written: {raw_path} and {out_path}")
+        return padded

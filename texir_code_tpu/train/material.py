@@ -1,0 +1,326 @@
+"""Mat stage runner — SVBRDF texture optimization with the 3-substage
+schedule.
+
+Rebuild of reference trainer/train_material.py:31-611:
+
+  * first-val mask build (:245-318): render each view at stage -1 (VHL
+    emitter) → per-view highlight mask; seg-class ids from the dataset with
+    the floor class eroded 15×15 (:258-260, eroded-out pixels drop out of
+    every class); optional per-room ids sampled from the roomseg occupancy
+    image at world xz (:274-282).
+  * run (:408-605): three sequential substages over `mat_epoch` epochs ×
+    views each — 0: albedo (Lambertian), 1: roughness (highlight-masked,
+    fresh Adam), 2: joint (fresh Adam); per-step clamps roughness [1e-2,0.8]
+    and albedo ≥ 0 (:458,477,592); StepLR(mat_sched_step, mat_sched_factor)
+    per epoch; per-step loss logging + "batch cost time" prints (:462-464);
+    periodic pano plots and re-render metrics (:359-406).
+
+The training step itself is one jitted function per stage (forward render +
+loss + grad + Adam update + clamp), with all masks as device arrays.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from texir_code_tpu.config import Config
+from texir_code_tpu.data import hdrio
+from texir_code_tpu.data.datasets import ImageCubeDerived
+from texir_code_tpu.train import checkpoints as ckpt
+from texir_code_tpu.train.exp import ExperimentDir, seed_everything
+
+NUM_SEG_CLASSES = 49  # the reference's seg tag range 0..48 (train_material.py:188)
+FLOOR_CLASS = 46      # seg_tag[-3] (train_material.py:258)
+
+
+def parse_roomseg(path: str):
+    """Room-segmentation metadata + id image (reference utils/general.py:115-125).
+
+    Returns (scale, w, h, x_min, z_min, room_img [H, W]) or None if absent."""
+    meta = os.path.join(path, "originOccupancyGrid_f0.meta")
+    img = os.path.join(path, "roomSegs_uchar_f0.png")
+    if not (os.path.exists(meta) and os.path.exists(img)):
+        return None
+    with open(meta) as f:
+        first = f.readline().strip().split(" ")
+    scale, w, h, x_min, z_min = (float(x) for x in first[:5])
+    room = hdrio.read_gray(img)
+    return scale, w, h, x_min, z_min, room
+
+
+def room_ids_at(roomseg, positions: np.ndarray) -> np.ndarray:
+    """Nearest room id at world xz (reference train_material.py:274-282)."""
+    scale, w, h, x_min, z_min, img = roomseg
+    u = (positions[..., 0] - x_min) / scale / w
+    v = (positions[..., 2] - z_min) / scale / h
+    cols = np.clip((u * img.shape[1]).astype(int), 0, img.shape[1] - 1)
+    rows = np.clip((v * img.shape[0]).astype(int), 0, img.shape[0] - 1)
+    return img[rows, cols].astype(np.int32)
+
+
+class MatTrainRunner:
+    def __init__(
+        self,
+        conf: Config,
+        expname: str = "default",
+        exps_root: str = "exps",
+        is_continue: bool = False,
+        timestamp: Optional[str] = None,
+        conf_path: Optional[str] = None,
+        max_epochs: Optional[int] = None,
+        dataset=None,
+        model=None,
+        albedo_res: int = 2048,
+        roughness_res: int = 4096,
+    ):
+        import jax
+
+        from texir_code_tpu.geometry import load_obj
+        from texir_code_tpu.models.material import (
+            MaterialModel,
+            init_material_params,
+        )
+
+        self.conf = conf
+        self.expname = expname
+        self.exp = ExperimentDir(
+            exps_root, "Mat", expname, is_continue, timestamp, conf_path
+        )
+        self.writer = self.exp.writer()
+        self.key = seed_everything(666)
+
+        path_mesh = conf.get_string("train.path_mesh_open3d")
+        self.pano_res = tuple(conf.get_list("train.pano_img_res", default=[256, 512]))
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+
+        self.dataset = dataset or ImageCubeDerived(
+            path_mesh, resolution=self.pano_res, hdr_exposure=hdr_exposure
+        )
+
+        if model is None:
+            mesh = load_obj(path_mesh)
+            hdr_tex = hdrio.read_hdr(
+                path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
+            )
+            irt = hdrio.read_hdr(path_mesh.replace("out1.obj", "irt.hdr"), flip=True)
+            model = MaterialModel(
+                mesh, hdr_tex, irt,
+                pano_res=self.pano_res,
+                sample_light=tuple(conf.get_list("train.sample_light", default=[32, 16])),
+                sample_type=tuple(
+                    conf.get_list("models.render.sample_type", default=["uniform", "importance"])
+                ),
+                hdr_exposure=hdr_exposure,
+            )
+        self.model = model
+        self.params = init_material_params(albedo_res, roughness_res)
+
+        self.nepochs = max_epochs or conf.get_int("train.mat_epoch", default=40)
+        self.lr = conf.get_float("train.mat_learning_rate", default=3e-2)
+        self.sched_step = conf.get_int("train.mat_sched_step", default=20)
+        self.sched_factor = conf.get_float("train.mat_sched_factor", default=0.8)
+        self.plot_freq = conf.get_int("train.plot_freq", default=10)
+        self.loss_type = conf.get_string("render_loss.loss_type", default="L1")
+
+        roomseg_dir = os.path.join(
+            os.path.dirname(os.path.dirname(path_mesh)), "roomseg"
+        )
+        self.roomseg = parse_roomseg(roomseg_dir)
+
+        self.masks: Dict[str, Dict[str, np.ndarray]] = {}
+        self._steps = {}
+
+    # ------------------------------------------------------------------
+    def build_masks(self):
+        """First-val pass (reference :245-318): VHL render per view →
+        highlight masks; seg ids with eroded floor; room ids."""
+        import jax
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        from texir_code_tpu.ops.shading import rgb_to_intensity
+
+        for i in range(len(self.dataset)):
+            item = self.dataset[i]
+            vid = item["id"]
+            out = self.model.forward(
+                self.params,
+                jnp.asarray(item["cam_to_world"]),
+                jnp.asarray(item["cam_position"]),
+                -1,
+                jax.random.fold_in(self.key, i),
+            )
+            intensity = np.asarray(rgb_to_intensity(jnp.abs(out["rgb"])))
+            highlight = (intensity > 0.0).astype(np.float32)  # (:286-290)
+
+            seg_id = item["segs"][..., 0].astype(np.int32)
+            seg_id = np.clip(seg_id, 0, NUM_SEG_CLASSES - 1)
+            # erode the floor class 15×15; eroded-out pixels leave every class
+            floor = (seg_id == FLOOR_CLASS).astype(np.uint8)
+            if floor.any():
+                er = np.stack(
+                    [ndimage.grey_erosion(f, size=(15, 15)) for f in floor]
+                )
+                seg_id = np.where(
+                    (floor > 0) & (er == 0), NUM_SEG_CLASSES, seg_id
+                )
+            region = (seg_id < NUM_SEG_CLASSES).astype(np.float32)[..., None]
+
+            positions = np.asarray(out["position"])
+            if self.roomseg is not None:
+                room_id = room_ids_at(self.roomseg, positions)
+                n_rooms = int(room_id.max()) + 1
+            else:
+                room_id = np.zeros(seg_id.shape, np.int32)
+                n_rooms = 1
+
+            self.masks[vid] = {
+                "highlight": highlight,
+                "seg_id": seg_id.astype(np.int32),
+                "seg_region": region,
+                "room_id": room_id,
+                "n_rooms": n_rooms,
+            }
+
+    # ------------------------------------------------------------------
+    def _make_step(self, stage: int, optimizer):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from texir_code_tpu.models.losses import render_loss
+        from texir_code_tpu.models.material import clamp_material_params
+
+        model = self.model
+        loss_type = self.loss_type
+        num_classes = NUM_SEG_CLASSES + 1  # +1 ignore bucket (eroded floor rim)
+
+        def step(params, opt_state, mvp, cam_pos, gt, gt_mask, seg_id,
+                 highlight, seg_region, room_id, n_rooms, key):
+            def loss_fn(p):
+                out = model._forward(p, mvp, cam_pos, key, stage=stage)
+                total, seg_term = render_loss(
+                    gt, out, gt_mask, seg_id, num_classes, stage,
+                    highlight=highlight, seg_region=seg_region,
+                    room_id=room_id, num_rooms=n_rooms,
+                    loss_type=loss_type,
+                )
+                return total, seg_term
+
+            (loss, seg_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return clamp_material_params(params), opt_state, loss, seg_term
+
+        return jax.jit(step, static_argnames=("n_rooms",))
+
+    def _substage(self, stage: int, epochs: int, cur_iter: int) -> int:
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        steps_per_epoch = max(1, len(self.dataset))
+        schedule = optax.exponential_decay(
+            self.lr, transition_steps=self.sched_step * steps_per_epoch,
+            decay_rate=self.sched_factor, staircase=True,
+        )
+        optimizer = optax.adam(schedule)
+        opt_state = optimizer.init(self.params)
+        step = self._make_step(stage, optimizer)
+
+        for epoch in range(epochs):
+            for i in range(len(self.dataset)):
+                t0 = time.time()
+                item = self.dataset[i]
+                m = self.masks[item["id"]]
+                self.params, opt_state, loss, seg_term = step(
+                    self.params, opt_state,
+                    jnp.asarray(item["cam_to_world"]),
+                    jnp.asarray(item["cam_position"]),
+                    jnp.asarray(item["color"]),
+                    jnp.asarray(item["mask"]),
+                    jnp.asarray(m["seg_id"]),
+                    jnp.asarray(m["highlight"]),
+                    jnp.asarray(m["seg_region"]),
+                    jnp.asarray(m["room_id"]),
+                    m["n_rooms"],
+                    jax.random.fold_in(self.key, cur_iter),
+                )
+                print(
+                    f"{self.expname} [{epoch}] ({i}/{len(self.dataset)}): "
+                    f"img_loss_stage{stage} ({self.loss_type}) = {float(loss):.6f}, "
+                    f"seg_loss = {float(seg_term):.6f}, id = {item['id']}, "
+                    f"batch cost time : {time.time()-t0:.4f}s"
+                )
+                self.writer.add_scalar(
+                    f"img_loss_{self.loss_type}_stage{stage}", float(loss), cur_iter
+                )
+                self.writer.add_scalar(
+                    f"seg_loss_{self.loss_type}_stage{stage}", float(seg_term), cur_iter
+                )
+                cur_iter += 1
+        return cur_iter
+
+    # ------------------------------------------------------------------
+    def save_materials(self, tag: str = "final"):
+        """Write the optimized atlases to plots/ (the artifact checkpoints
+        the testers consume, reference models/test_nvdiffrast.py:119-130)
+        and an orbax checkpoint."""
+        albedo = np.asarray(self.params.albedo)
+        rough = np.asarray(self.params.roughness)
+        hdrio.write_hdr(os.path.join(self.exp.plots_dir, f"mat_albedo_{tag}.hdr"), albedo)
+        hdrio.write_hdr(os.path.join(self.exp.plots_dir, f"mat_roughness_{tag}.hdr"), rough)
+        ckpt.save_checkpoint(
+            self.exp.checkpoints_dir, 0,
+            {"albedo": albedo, "roughness": rough},
+        )
+
+    def render_calculate(self, stage: int = 2) -> Dict[str, float]:
+        """Tonemapped re-render MSE/PSNR/SSIM over training views
+        (reference :359-406)."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.models.losses import ssim
+        from texir_code_tpu.ops.shading import mse_to_psnr, tonemap
+
+        mse = psnr = ssim_v = 0.0
+        n = len(self.dataset)
+        for i in range(n):
+            item = self.dataset[i]
+            out = self.model.forward(
+                self.params,
+                jnp.asarray(item["cam_to_world"]),
+                jnp.asarray(item["cam_position"]),
+                stage,
+                jax.random.fold_in(self.key, 10_000 + i),
+            )
+            pred = tonemap(out["rgb"])
+            gt = tonemap(jnp.asarray(item["color"]))
+            m = float(jnp.mean((pred - gt) ** 2))
+            mse += m
+            psnr += float(mse_to_psnr(jnp.asarray(m)))
+            ssim_v += float(ssim(pred, gt))
+        metrics = {"mse": mse / n, "psnr": psnr / n, "ssim": ssim_v / n}
+        print(
+            "re-rendering error: mse: {mse}, psnr: {psnr}, ssim: {ssim}".format(**metrics)
+        )
+        return metrics
+
+    def run(self):
+        print("training...")
+        self.build_masks()  # the reference's plot_to_disk_cube(stage=0) VHL pass
+        cur_iter = 0
+        # stage 0: albedo only (Lambertian init)
+        cur_iter = self._substage(0, self.nepochs, cur_iter)
+        # stage 1: roughness via highlights, fresh Adam (reference :471-476)
+        cur_iter = self._substage(1, self.nepochs, cur_iter)
+        # stage 2: joint, fresh Adam (reference :538-)
+        cur_iter = self._substage(2, self.nepochs, cur_iter)
+        self.save_materials()
+        self.render_calculate(2)
+        return self.params
