@@ -73,7 +73,7 @@ class Config:
 
     def get_config(self, path: str, default: Any = _MISSING) -> "Config":
         val = self._resolve(path, default)
-        if isinstance(val, Config):
+        if val is None or isinstance(val, Config):
             return val
         if not isinstance(val, dict):
             raise TypeError(f"config path {path!r} is not a block: {val!r}")

@@ -1,0 +1,269 @@
+"""Tester runners: editing, novel view, relighting, re-render error.
+
+Rebuilds of the reference tester stage runners (tester/exp_runner.py:42-47):
+
+  * MatEditingRunner   — tester/test_editing.py: seg-driven material edits,
+                         with `change_color` linear interpolation frames.
+  * NovelViewRunner    — tester/test_novel.py: render the ImageCubeNovel
+                         dolly trajectory.
+  * RelightingRunner   — tester/test_relighting.py: path-traced re-lighting
+                         with quad lights (see eval/path_tracer.py).
+  * MatErrorRunner     — tester/test_error.py: re-render MSE/PSNR/SSIM over
+                         the training views.
+
+Each runner loads the optimized atlases from the newest Mat experiment
+(plots dir), exactly like the reference's `sort_res` artifact pickup.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from texir_code_tpu.config import Config
+from texir_code_tpu.data import hdrio
+from texir_code_tpu.data.datasets import ImageCubeDerived, ImageCubeNovel
+from texir_code_tpu.eval.renderer import EvalMaterialModel, load_optimized_materials
+from texir_code_tpu.train.exp import ExperimentDir, seed_everything
+
+
+def _find_mat_plots(exps_root: str, expname: str, timestamp: Optional[str] = None) -> str:
+    base = os.path.join(exps_root, f"Mat-{expname}")
+    stamps = sorted(os.listdir(base))
+    if timestamp and timestamp != "latest":
+        stamp = timestamp
+    else:
+        stamp = stamps[-1]
+    return os.path.join(base, stamp, "plots")
+
+
+class _TesterBase:
+    STAGE = "Test"
+
+    def __init__(
+        self,
+        conf: Config,
+        expname: str = "default",
+        exps_root: str = "exps",
+        timestamp: Optional[str] = None,
+        conf_path: Optional[str] = None,
+        dataset=None,
+        model=None,
+        params=None,
+        seg_texture: Optional[np.ndarray] = None,
+        sample_light: Optional[Sequence[int]] = None,
+    ):
+        from texir_code_tpu.geometry import load_obj
+
+        self.conf = conf
+        self.expname = expname
+        self.exp = ExperimentDir(exps_root, self.STAGE, expname, conf_path=conf_path)
+        self.key = seed_everything(666)
+
+        path_mesh = conf.get_string("train.path_mesh_open3d")
+        self.path_mesh = path_mesh
+        self.pano_res = tuple(conf.get_list("train.pano_img_res", default=[256, 512]))
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+        sl = sample_light or conf.get_list("train.sample_light", default=[1024, 256])
+
+        if model is None:
+            mesh = load_obj(path_mesh)
+            hdr_tex = hdrio.read_hdr(
+                path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
+            )
+            irt = hdrio.read_hdr(path_mesh.replace("out1.obj", "irt.hdr"), flip=True)
+            if seg_texture is None:
+                seg_path = path_mesh.replace("out1.obj", "0_seg_gray.png")
+                if os.path.exists(seg_path):
+                    seg_texture = hdrio.read_gray(seg_path)[::-1]  # v-up
+            model = EvalMaterialModel(
+                mesh, hdr_tex, irt,
+                pano_res=self.pano_res, sample_light=tuple(sl),
+                hdr_exposure=hdr_exposure, seg_texture=seg_texture,
+            )
+        self.model = model
+        if params is None:
+            plots = _find_mat_plots(exps_root, expname, timestamp)
+            params = load_optimized_materials(plots)
+        self.params = params
+        self.dataset = dataset
+
+    def _default_dataset(self):
+        return ImageCubeDerived(
+            self.path_mesh, resolution=self.pano_res,
+            hdr_exposure=self.conf.get_float("train.hdr_exposure", default=0.0),
+        )
+
+    def _render(self, item, stage=2, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        return self.model.forward(
+            self.params,
+            jnp.asarray(item["cam_to_world"]),
+            jnp.asarray(item["cam_position"]),
+            stage,
+            jax.random.fold_in(self.key, 0),
+            **kw,
+        )
+
+
+class MatEditingRunner(_TesterBase):
+    STAGE = "Editing"
+
+    def run(
+        self,
+        edits: Optional[Dict[int, Dict[str, object]]] = None,
+        num_frames: int = 1,
+        end_edits: Optional[Dict[int, Dict[str, object]]] = None,
+    ) -> List[np.ndarray]:
+        """Render edited materials; with `end_edits`, linearly interpolate
+        edit values across frames (the reference's change_color animation,
+        tester/test_editing.py:174-206)."""
+        ds = self.dataset or self._default_dataset()
+        edits = edits or {}
+        frames = []
+        for f in range(num_frames):
+            t = f / max(num_frames - 1, 1)
+            cur = {}
+            for cls, spec in edits.items():
+                cur[cls] = dict(spec)
+                if end_edits and cls in end_edits:
+                    for k, v in end_edits[cls].items():
+                        a = np.asarray(spec.get(k, v), np.float32)
+                        b = np.asarray(v, np.float32)
+                        cur[cls][k] = (1 - t) * a + t * b
+            params = self.model.edited_params(self.params, cur) if cur else self.params
+            item = ds[0]
+            import jax
+            import jax.numpy as jnp
+
+            out = self.model.forward(
+                params, jnp.asarray(item["cam_to_world"]),
+                jnp.asarray(item["cam_position"]), 2,
+                jax.random.fold_in(self.key, f),
+            )
+            img = np.asarray(out["rgb"])
+            frames.append(img)
+            hdrio.plot_mat(
+                os.path.join(self.exp.plots_dir, f"edit_{f:03d}.hdr"),
+                img, np.asarray(item["color"]),
+            )
+        return frames
+
+
+class NovelViewRunner(_TesterBase):
+    STAGE = "View"
+
+    def run(self, num: int = 60, start_index: int = 0) -> List[np.ndarray]:
+        ds = ImageCubeNovel(
+            self.path_mesh, resolution=self.pano_res,
+            start_index=start_index, num=num,
+        )
+        frames = []
+        for i in range(len(ds)):
+            out = self._render(ds[i])
+            img = np.asarray(out["rgb"])
+            frames.append(img)
+            hdrio.write_hdr(
+                os.path.join(self.exp.plots_dir, f"novel_{i:03d}.hdr"),
+                np.concatenate(list(img), axis=1),
+            )
+        return frames
+
+
+class RelightingRunner(_TesterBase):
+    STAGE = "Relighting"
+
+    def run(
+        self,
+        mode: str = "emitter",
+        new_color: Sequence[float] = (1.0, 0.2, 0.2),
+        pano_res=(64, 128),
+        spp: int = 16,
+        max_bounces: int = 3,
+    ) -> List[np.ndarray]:
+        """mode='emitter': recolor the scene's light sources and re-shade by
+        live MC (reference test_nvdiffrast relighting branch).
+        mode='pathtrace': full path tracing with a quad light per camera
+        (reference test_redner)."""
+        ds = self.dataset or self._default_dataset()
+        frames = []
+        if mode == "emitter":
+            import jax
+            import jax.numpy as jnp
+
+            for i in range(len(ds)):
+                item = ds[i]
+                out = self.model.forward_relit(
+                    self.params,
+                    jnp.asarray(item["cam_to_world"]),
+                    jnp.asarray(item["cam_position"]),
+                    jax.random.fold_in(self.key, i),
+                    new_color=tuple(new_color),
+                )
+                img = np.asarray(out["rgb"])
+                frames.append(img)
+                hdrio.write_hdr(
+                    os.path.join(self.exp.plots_dir, f"relit_{i:03d}.hdr"),
+                    np.concatenate(list(img), axis=1),
+                )
+            return frames
+
+        # path-traced relighting with explicit quad lights
+        import jax
+
+        from texir_code_tpu.eval.path_tracer import (
+            PathTracedMaterialModel,
+            light_under_camera,
+        )
+
+        lights = [
+            light_under_camera(ds[i]["cam_position"]) for i in range(len(ds))
+        ]
+        tracer = PathTracedMaterialModel(
+            self.model.mesh,
+            np.asarray(self.params.albedo),
+            np.asarray(self.params.roughness),
+            lights, max_bounces=max_bounces, spp=spp,
+        )
+        for i in range(len(ds)):
+            img = tracer.render_pano(
+                ds[i]["cam_position"], pano_res, jax.random.fold_in(self.key, i)
+            )
+            frames.append(img)
+            hdrio.write_hdr(
+                os.path.join(self.exp.plots_dir, f"pt_relit_{i:03d}.hdr"), img
+            )
+        return frames
+
+
+class MatErrorRunner(_TesterBase):
+    STAGE = "Error"
+
+    def run(self) -> Dict[str, float]:
+        """Tonemapped re-render MSE/PSNR/SSIM over the training views
+        (reference tester/test_error.py:169-196)."""
+        import jax.numpy as jnp
+
+        from texir_code_tpu.models.losses import ssim
+        from texir_code_tpu.ops.shading import mse_to_psnr, tonemap
+
+        ds = self.dataset or self._default_dataset()
+        mse = psnr = ssim_v = 0.0
+        for i in range(len(ds)):
+            item = ds[i]
+            out = self._render(item)
+            pred = tonemap(out["rgb"])
+            gt = tonemap(jnp.asarray(item["color"]))
+            m = float(jnp.mean((pred - gt) ** 2))
+            mse += m
+            psnr += float(mse_to_psnr(jnp.asarray(m)))
+            ssim_v += float(ssim(pred, gt))
+        n = len(ds)
+        metrics = {"mse": mse / n, "psnr": psnr / n, "ssim": ssim_v / n}
+        print("re-rendering error:", metrics)
+        return metrics

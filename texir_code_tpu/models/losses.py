@@ -483,9 +483,10 @@ def neilf_loss(
     log domain + image-gradient-gated BRDF smoothness + lambertian prior."""
     rgb_loss = l1(hdr_scale(outputs["rgb"]), hdr_scale(rgb_gt))
     grads = outputs["brdf_grad"]
-    smooth = jnp.mean(
-        jnp.linalg.norm(grads, axis=-1) * jnp.exp(-rgb_grad[..., 0])
-    )
+    # eps inside the sqrt: plain norm has a NaN gradient at exactly zero,
+    # which is the BRDF MLP's zero-init output
+    norm = jnp.sqrt(jnp.sum(grads ** 2, axis=-1) + 1e-12)
+    smooth = jnp.mean(norm * jnp.exp(-rgb_grad[..., 0]))
     reg = jnp.mean(jnp.abs(outputs["roughness"] - 1.0))
     return rgb_loss + smoothness_weighting * smooth + lambertian_weighting * reg
 

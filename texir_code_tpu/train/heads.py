@@ -1,0 +1,187 @@
+"""Baseline-head stage runners: InvRender / NeILF / nvdiffrec.
+
+Rebuilds the three single-stage baseline trainers (reference trainer/
+train_material_invrender.py, train_material_neilf.py,
+train_material_recMLP.py — structurally identical loops differing only in
+model class + loss) as one parameterized runner.  Stage names match the
+reference CLI ('MatInv', 'MatNeilf', 'MatRec', trainer/exp_runner.py:59-66).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from texir_code_tpu.config import Config
+from texir_code_tpu.data import hdrio
+from texir_code_tpu.data.datasets import ImageCubeDerived
+from texir_code_tpu.train import checkpoints as ckpt
+from texir_code_tpu.train.exp import ExperimentDir, seed_everything
+
+
+class BaselineHeadRunner:
+    """Single-stage trainer over one of the baseline material heads.
+
+    head: 'invrender' | 'neilf' | 'recmlp'.
+    """
+
+    STAGE_NAMES = {"invrender": "MatInv", "neilf": "MatNeilf", "recmlp": "MatRec"}
+
+    def __init__(
+        self,
+        conf: Config,
+        head: str,
+        expname: str = "default",
+        exps_root: str = "exps",
+        is_continue: bool = False,
+        timestamp: Optional[str] = None,
+        conf_path: Optional[str] = None,
+        max_epochs: Optional[int] = None,
+        dataset=None,
+        model=None,
+    ):
+        import jax
+        import optax
+
+        from texir_code_tpu.geometry import load_obj
+        from texir_code_tpu.models import fields
+        from texir_code_tpu.models.material_heads import (
+            InvRenderMaterialModel,
+            NeILFMaterialModel,
+            NvDiffRecMaterialModel,
+        )
+
+        self.head = head.lower()
+        if self.head not in self.STAGE_NAMES:
+            raise ValueError(f"unknown head {head!r}")
+        self.conf = conf
+        self.expname = expname
+        self.exp = ExperimentDir(
+            exps_root, self.STAGE_NAMES[self.head], expname,
+            is_continue, timestamp, conf_path,
+        )
+        self.writer = self.exp.writer()
+        self.key = seed_everything(666)
+
+        path_mesh = conf.get_string("train.path_mesh_open3d")
+        pano_res = tuple(conf.get_list("train.pano_img_res", default=[256, 512]))
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+        self.dataset = dataset or ImageCubeDerived(
+            path_mesh, resolution=pano_res, hdr_exposure=hdr_exposure
+        )
+
+        if model is None:
+            mesh = load_obj(path_mesh)
+            hdr_tex = hdrio.read_hdr(
+                path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
+            )
+            irt = hdrio.read_hdr(path_mesh.replace("out1.obj", "irt.hdr"), flip=True)
+            common = dict(
+                pano_res=pano_res,
+                sample_light=tuple(conf.get_list("train.sample_light", default=[32, 16])),
+                hdr_exposure=hdr_exposure,
+            )
+            if self.head == "invrender":
+                model = InvRenderMaterialModel(mesh, hdr_tex, irt, **common)
+            elif self.head == "neilf":
+                model = NeILFMaterialModel(mesh, hdr_tex, irt, **common)
+            else:
+                model = NvDiffRecMaterialModel(mesh, hdr_tex, irt, **common)
+        self.model = model
+        self.params = model.init_params(self.key)
+
+        self.nepochs = max_epochs or conf.get_int("train.mat_epoch", default=40)
+        lr = conf.get_float("train.mat_learning_rate", default=3e-2)
+        sched_step = conf.get_int("train.mat_sched_step", default=20)
+        factor = conf.get_float("train.mat_sched_factor", default=0.8)
+        steps_per_epoch = max(1, len(self.dataset))
+        schedule = optax.exponential_decay(
+            lr, transition_steps=sched_step * steps_per_epoch,
+            decay_rate=factor, staircase=True,
+        )
+        self.optimizer = optax.adam(schedule)
+        self.opt_state = self.optimizer.init(self.params)
+        self._step = self._make_step()
+
+    def _make_step(self):
+        import jax
+        import optax
+
+        from texir_code_tpu.models import losses
+
+        model = self.model
+        head = self.head
+        optimizer = self.optimizer
+        loss_conf = self.conf.get_config("loss", default=None)
+
+        def step(params, opt_state, mvp, cam_pos, gt, rgb_grad, iteration, key):
+            def loss_fn(p):
+                out = model._forward(p, mvp, cam_pos, key)
+                if head == "invrender":
+                    kw = {}
+                    if loss_conf is not None:
+                        kw = dict(
+                            sg_rgb_weight=loss_conf.get_float("sg_rgb_weight", default=1.0),
+                            kl_weight=loss_conf.get_float("kl_weight", default=0.01),
+                            latent_smooth_weight=loss_conf.get_float(
+                                "latent_smooth_weight", default=0.1
+                            ),
+                        )
+                    return losses.inv_loss(
+                        out, gt, out["latent_pre_sigmoid"], **kw
+                    )["loss"]
+                if head == "neilf":
+                    return losses.neilf_loss(out, gt, rgb_grad)
+                return losses.nvdiffrec_loss(out, gt, iteration)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(step)
+
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+
+        cur_iter = 0
+        for epoch in range(self.nepochs):
+            for i in range(len(self.dataset)):
+                t0 = time.time()
+                item = self.dataset[i]
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state,
+                    jnp.asarray(item["cam_to_world"]),
+                    jnp.asarray(item["cam_position"]),
+                    jnp.asarray(item["color"]),
+                    jnp.asarray(item["rgb_grad"]),
+                    jnp.asarray(float(cur_iter)),
+                    jax.random.fold_in(self.key, cur_iter),
+                )
+                print(
+                    f"{self.expname} [{epoch}] ({i}/{len(self.dataset)}): "
+                    f"{self.head}_loss = {float(loss):.6f}, "
+                    f"batch cost time : {time.time()-t0:.4f}s"
+                )
+                self.writer.add_scalar(f"{self.head}_loss", float(loss), cur_iter)
+                cur_iter += 1
+        ckpt.save_checkpoint(
+            self.exp.checkpoints_dir, self.nepochs, {"params": self.params}
+        )
+        return self.params
+
+
+def InvRenderTrainRunner(conf, **kw):
+    return BaselineHeadRunner(conf, "invrender", **kw)
+
+
+def NeILFTrainRunner(conf, **kw):
+    return BaselineHeadRunner(conf, "neilf", **kw)
+
+
+def NvDiffRecTrainRunner(conf, **kw):
+    return BaselineHeadRunner(conf, "recmlp", **kw)

@@ -1,0 +1,160 @@
+"""MatSyn stage runner — Mat training + ground-truth material evaluation.
+
+Rebuild of reference trainer/train_material_syn.py (737 LoC, = the real
+trainer + synthetic-GT eval):
+
+  * scale-invariant albedo comparison via a least-squares scalar fit
+    (`scale_compute`, reference utils/general.py:128-130, applied at :440);
+  * albedo / roughness MSE + PSNR + SSIM against the GT atlases (:394-523);
+  * `postprocessing_materials` overrides for emitter texels (lamp regions
+    take GT values since their reflectance is unobservable, :374-392);
+  * held-out novel-view re-render PSNR from info/novel.txt;
+  * final eval render at high specular spp (:735-736).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from texir_code_tpu.config import Config
+from texir_code_tpu.data.datasets import ImageCubeSyn
+from texir_code_tpu.train.material import MatTrainRunner
+
+
+def scale_compute(gt: np.ndarray, prediction: np.ndarray) -> float:
+    """Least-squares scalar s minimizing ||gt - s·pred|| (reference
+    utils/general.py:128-130 via torch.lstsq)."""
+    p = prediction.reshape(-1).astype(np.float64)
+    g = gt.reshape(-1).astype(np.float64)
+    denom = float(p @ p)
+    return float(p @ g) / denom if denom > 0 else 1.0
+
+
+def postprocessing_materials(
+    albedo: np.ndarray,
+    roughness: np.ndarray,
+    gt_albedo: np.ndarray,
+    gt_roughness: np.ndarray,
+    emitter_mask: np.ndarray,
+) -> tuple:
+    """Emitter texels take GT values — their reflectance is unobservable
+    under their own emission (reference train_material_syn.py:374-392)."""
+    m = emitter_mask[..., None] if emitter_mask.ndim == 2 else emitter_mask
+    albedo = np.where(m > 0, gt_albedo, albedo)
+    roughness = np.where(m > 0, gt_roughness, roughness)
+    return albedo, roughness
+
+
+class MatTrainSynRunner(MatTrainRunner):
+    def __init__(self, conf: Config, **kw):
+        path_mesh = conf.get_string("train.path_mesh_open3d")
+        pano_res = tuple(conf.get_list("train.pano_img_res", default=[256, 512]))
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+        dataset = kw.pop("dataset", None) or ImageCubeSyn(
+            path_mesh, resolution=pano_res, hdr_exposure=hdr_exposure
+        )
+        super().__init__(conf, dataset=dataset, **kw)
+
+    # ------------------------------------------------------------------
+    def evaluate_materials(self, emitter_threshold: float = 0.5) -> Dict[str, float]:
+        """GT-material metrics at the atlas level (reference :394-523)."""
+        import jax.numpy as jnp
+
+        from texir_code_tpu.data import hdrio
+        from texir_code_tpu.models.losses import ssim
+        from texir_code_tpu.ops.shading import mse_to_psnr
+
+        ds: ImageCubeSyn = self.dataset  # type: ignore[assignment]
+        if ds.gt_albedo is None:
+            raise ValueError("dataset has no GT materials")
+
+        albedo = np.asarray(self.params.albedo)
+        rough = np.asarray(self.params.roughness)
+        gt_a = ds.gt_albedo
+        gt_r = ds.gt_roughness
+
+        # resample predictions to the GT resolution (nearest)
+        def resample(x, res_hw):
+            rows = (np.arange(res_hw[0]) * x.shape[0]) // res_hw[0]
+            cols = (np.arange(res_hw[1]) * x.shape[1]) // res_hw[1]
+            return x[rows][:, cols]
+
+        albedo = resample(albedo, gt_a.shape[:2])
+        rough = resample(rough, gt_r.shape[:2])
+
+        # emitter texels take GT (postprocessing, :374-392)
+        hdr_tex = hdrio.read_hdr(
+            self.conf.get_string("train.path_mesh_open3d").replace(
+                "out1.obj", "hdr_texture.hdr"
+            ),
+            flip=True,
+        )
+        intensity = 0.299 * hdr_tex[..., 0] + 0.587 * hdr_tex[..., 1] + 0.114 * hdr_tex[..., 2]
+        emitter = resample(
+            (intensity >= emitter_threshold).astype(np.float32), gt_a.shape[:2]
+        )
+        albedo, rough = postprocessing_materials(albedo, rough, gt_a, gt_r, emitter)
+
+        # scale-invariant albedo (:440)
+        s = scale_compute(gt_a, albedo)
+        albedo_s = np.clip(albedo * s, 0, 1)
+
+        def metrics(pred, gt, channels):
+            pred4 = jnp.asarray(pred[None])
+            gt4 = jnp.asarray(gt[None])
+            if channels == 1:
+                pred4 = jnp.repeat(pred4, 3, -1)
+                gt4 = jnp.repeat(gt4, 3, -1)
+            mse = float(jnp.mean((pred4 - gt4) ** 2))
+            return mse, float(mse_to_psnr(jnp.asarray(mse))), float(ssim(pred4, gt4))
+
+        a_mse, a_psnr, a_ssim = metrics(albedo_s, gt_a, 3)
+        r_mse, r_psnr, r_ssim = metrics(rough, gt_r, 1)
+        out = {
+            "albedo_scale": s,
+            "albedo_mse": a_mse, "albedo_psnr": a_psnr, "albedo_ssim": a_ssim,
+            "roughness_mse": r_mse, "roughness_psnr": r_psnr,
+            "roughness_ssim": r_ssim,
+        }
+        print("material eval:", out)
+        return out
+
+    def evaluate_novel_views(self) -> Dict[str, float]:
+        """Held-out novel-view re-render metrics (reference :394-523)."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.models.losses import ssim
+        from texir_code_tpu.ops.shading import mse_to_psnr, tonemap
+
+        ds: ImageCubeSyn = self.dataset  # type: ignore[assignment]
+        novel_idx = [i for i, vid in enumerate(ds.ids) if vid in ds.novel_ids]
+        if not novel_idx:
+            return {}
+        mse = psnr = ssim_v = 0.0
+        for i in novel_idx:
+            item = ds[i]
+            out = self.model.forward(
+                self.params, jnp.asarray(item["cam_to_world"]),
+                jnp.asarray(item["cam_position"]), 2,
+                jax.random.fold_in(self.key, 20_000 + i),
+            )
+            pred = tonemap(out["rgb"])
+            gt = tonemap(jnp.asarray(item["color"]))
+            m = float(jnp.mean((pred - gt) ** 2))
+            mse += m
+            psnr += float(mse_to_psnr(jnp.asarray(m)))
+            ssim_v += float(ssim(pred, gt))
+        n = len(novel_idx)
+        out = {"novel_mse": mse / n, "novel_psnr": psnr / n, "novel_ssim": ssim_v / n}
+        print("novel-view eval:", out)
+        return out
+
+    def run(self):
+        params = super().run()
+        self.evaluate_materials()
+        self.evaluate_novel_views()
+        return params
