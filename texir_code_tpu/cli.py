@@ -47,6 +47,28 @@ def _irrf(conf, args):
     ).run()
 
 
+@_train_stage("IRF")
+def _irf(conf, args):
+    from texir_code_tpu.train.irf_pil import IRFTrainRunner
+
+    return IRFTrainRunner(
+        conf, expname=args.expname, exps_root=args.exps_folder,
+        is_continue=args.is_continue, timestamp=args.timestamp,
+        conf_path=args.conf, max_epochs=args.max_epochs,
+    ).run()
+
+
+@_train_stage("PIL")
+def _pil(conf, args):
+    from texir_code_tpu.train.irf_pil import PILTrainRunner
+
+    return PILTrainRunner(
+        conf, expname=args.expname, exps_root=args.exps_folder,
+        is_continue=args.is_continue, timestamp=args.timestamp,
+        conf_path=args.conf, max_epochs=args.max_epochs,
+    ).run()
+
+
 @_train_stage("IrrT")
 def _irrt(conf, args):
     from texir_code_tpu.train.irt import IrrTextureRunner

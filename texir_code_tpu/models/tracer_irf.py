@@ -1,0 +1,63 @@
+"""IRF — view-dependent incident-radiance field (stage IRF).
+
+Rebuild of reference models/tracer_o3d.py:29-219: per surface point, a
+Hammersley hemisphere grid of directions; ground truth is the per-direction
+TBL radiance (not integrated — unlike the IRRF variant); prediction is an
+`IRNetwork`/`NeILFMLP` evaluated per (point, direction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from texir_code_tpu.models.fields import IRNetwork
+from texir_code_tpu.models.tbl import TBL, query_tbl_multi
+from texir_code_tpu.ops.sampling import generate_dir
+
+
+class TracerIRF:
+    """View-dependent radiance tracer: {gt [B,S,3], pred [B,S,3]}."""
+
+    def __init__(self, tbl: TBL, network: Optional[IRNetwork] = None):
+        self.tbl = tbl
+        self.network = network or IRNetwork(dims=(512,) * 8)
+
+    def init_params(self, key: jax.Array):
+        return self.network.init(key, jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+
+    @partial(jax.jit, static_argnames=("self", "resolution"))
+    def trace_gt(
+        self,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        resolution: Tuple[int, int],
+        key: jax.Array,
+    ):
+        """(dirs [B,S,3], per-direction radiance [B,S,3])."""
+        s = resolution[0] * resolution[1]
+        dirs = generate_dir(normals, s, key, mode="uniform")
+        gt = query_tbl_multi(self.tbl, points, dirs)
+        return dirs, gt
+
+    def forward(
+        self,
+        params,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        resolution: Tuple[int, int],
+        key: jax.Array,
+        trace: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        b = points.shape[0]
+        s = resolution[0] * resolution[1]
+        dirs, gt = self.trace_gt(points, normals, resolution, key)
+        pts_rep = jnp.broadcast_to(points[:, None, :], (b, s, 3)).reshape(-1, 3)
+        pred = self.network.apply(params, pts_rep, dirs.reshape(-1, 3)).reshape(b, s, 3)
+        out = {"pred": pred}
+        if trace:
+            out["gt"] = jax.lax.stop_gradient(gt)
+        return out
