@@ -165,15 +165,27 @@ def build_bvh(
     faces: np.ndarray,
     leaf_width: int = 4,
     use_sah: bool = True,
+    use_native: bool = True,
 ) -> FlatBVH:
     """Build a skip-link BVH over a triangle mesh.
+
+    Dispatches to the C++ builder (texir_code_tpu.native) when available —
+    same output contract, ~20-50× faster on scan-scale meshes; this numpy
+    implementation is the fallback and the test oracle.
 
     Args:
         vertices: [V, 3] float.
         faces: [F, 3] int.
         leaf_width: max triangles per leaf (static unroll width on device).
         use_sah: binned-SAH splits (median fallback when SAH degenerates).
+        use_native: allow the C++ fast path.
     """
+    if use_native and use_sah:
+        from texir_code_tpu import native
+
+        fb = native.build_bvh_native(vertices, faces, leaf_width)
+        if fb is not None:
+            return fb
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int64)
     tri = vertices[faces]  # [F, 3, 3]

@@ -87,12 +87,15 @@ class GeometryTextures:
     valid: np.ndarray     # [R, R] bool — texel is covered by a triangle
 
 
-def bake_geometry_textures(mesh, res: int, offset: float = 0.0) -> GeometryTextures:
+def bake_geometry_textures(
+    mesh, res: int, offset: float = 0.0, use_native: bool = True
+) -> GeometryTextures:
     """Texture-space rasterization: world position/normal per atlas texel.
 
     For every triangle, texels whose centers fall inside its uv footprint get
-    barycentric-interpolated world position and vertex normal.  Host-side
-    numpy, vectorized per triangle over its uv bounding box.
+    barycentric-interpolated world position and vertex normal.  Dispatches to
+    the C++ rasterizer (texir_code_tpu.native) when available; this numpy
+    loop is the fallback and oracle.
 
     Args:
         mesh: geometry.Mesh with uvs and vertex normals.
@@ -101,6 +104,12 @@ def bake_geometry_textures(mesh, res: int, offset: float = 0.0) -> GeometryTextu
         offset: displace positions by offset·normal (bake-time surface
             epsilon; the reference offsets at trace time instead).
     """
+    if use_native and offset == 0.0:
+        from texir_code_tpu import native
+
+        g = native.bake_geometry_native(mesh, res)
+        if g is not None:
+            return g
     if mesh.vertex_normals is None:
         mesh.compute_vertex_normals()
     position = np.zeros((res, res, 3), np.float32)
