@@ -154,3 +154,34 @@ def test_cli_demo_and_help(tmp_path):
     out = str(tmp_path / "demo")
     assert main(["demo", "--out", out, "--views", "2", "--atlas_res", "48"]) == 0
     assert os.path.exists(os.path.join(out, "info", "aligned.txt"))
+
+
+def test_head_runner_and_syn_eval(trained_env):
+    """Baseline head trainer end-to-end + synthetic material evaluation."""
+    from texir_code_tpu.data.datasets import ImageCubeSyn
+    from texir_code_tpu.train.heads import (
+        BaselineHeadRunner,
+        evaluate_head_materials_syn,
+    )
+
+    scene, root, path_mesh, conf, exps = trained_env
+    ds = ImageCubeSyn(path_mesh, resolution=(32, 64), hdr_exposure=0.0)
+    runner = BaselineHeadRunner(
+        conf, "recmlp", expname="h", exps_root=exps, max_epochs=1, dataset=ds
+    )
+    runner.run()
+    m = evaluate_head_materials_syn(runner, texture_res=32)
+    assert np.isfinite(m["albedo_psnr"]) and np.isfinite(m["roughness_psnr"])
+
+
+def test_msssim_and_gradient_loss(rng):
+    import jax.numpy as jnp
+
+    from texir_code_tpu.models.losses import gradient_loss, ms_ssim
+
+    a = jnp.asarray(rng.random((1, 96, 96, 3)).astype(np.float32))
+    assert float(ms_ssim(a, a)) == pytest.approx(1.0, abs=1e-3)
+    b = jnp.clip(a + 0.1, 0, 1)
+    assert float(ms_ssim(a, b)) < 1.0
+    assert float(gradient_loss(a, a)) == 0.0
+    assert float(gradient_loss(a, b)) < 1e-6  # constant offset has no gradient

@@ -90,6 +90,45 @@ class MatNetwork(nn.Module):
         return nn.Dense(self.p_out_dim, kernel_init=_kaiming, bias_init=_zeros)(x)
 
 
+class IRSGNetwork(nn.Module):
+    """point → 24 spherical gaussians (lobe dir, λ, μ) — reference
+    incidentNet.py:55-101 (present in the reference but unused by its
+    runners; kept for API completeness)."""
+
+    points_multires: int = 10
+    dims: Sequence[int] = (128, 128, 128, 128)
+    num_lgt_sgs: int = 24
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray) -> jnp.ndarray:
+        x = (
+            positional_encoding(points, self.points_multires)
+            if self.points_multires > 0
+            else points
+        )
+        for d in self.dims:
+            x = nn.Dense(d)(x)
+            x = nn.relu(x)
+        out = nn.Dense(self.num_lgt_sgs * 6)(x)
+        out = out.reshape(points.shape[:-1] + (self.num_lgt_sgs, 6))
+        lobes = jax.nn.sigmoid(out[..., :2])
+        theta = lobes[..., 0:1] * 2 * jnp.pi
+        phi = lobes[..., 1:2] * 2 * jnp.pi
+        lobe_dir = jnp.concatenate(
+            [jnp.cos(theta) * jnp.sin(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(phi)],
+            axis=-1,
+        )
+        lam = jax.nn.sigmoid(out[..., 2:3]) * 30.0 + 0.1
+        mu = nn.relu(out[..., 3:6])
+        return jnp.concatenate([lobe_dir, lam, mu], axis=-1)
+
+
+def frequency_encoding(x: jnp.ndarray, n_frequencies: int = 6) -> jnp.ndarray:
+    """tcnn 'Frequency' encoding equivalent (reference models/embedder.py:
+    114-159): sin/cos at 2^k without the raw input."""
+    return positional_encoding(x, n_frequencies, include_input=False)
+
+
 class IRNetwork(nn.Module):
     """(point, direction) → RGB incident radiance (reference :16-53)."""
 

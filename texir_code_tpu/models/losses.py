@@ -116,12 +116,83 @@ def ssim(
     return jnp.mean(s)
 
 
+def ms_ssim(
+    a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
+    weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333),
+) -> jnp.ndarray:
+    """Multi-scale SSIM (pytorch_msssim MS_SSIM defaults): contrast terms at
+    each scale, full SSIM at the coarsest, 2× avg-pool between scales."""
+    kernel = _gaussian_kernel()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    def cs_and_ssim(x, y):
+        mu_x, mu_y = _blur(x, kernel), _blur(y, kernel)
+        var_x = _blur(x * x, kernel) - mu_x ** 2
+        var_y = _blur(y * y, kernel) - mu_y ** 2
+        cov = _blur(x * y, kernel) - mu_x * mu_y
+        cs = jnp.mean(jnp.maximum((2 * cov + c2) / (var_x + var_y + c2), 0.0))
+        s = jnp.mean(
+            jnp.maximum(
+                (2 * mu_x * mu_y + c1) * (2 * cov + c2)
+                / ((mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)),
+                0.0,
+            )
+        )
+        return cs, s
+
+    def pool(x):
+        n, h, w, c = x.shape
+        return x[:, : h // 2 * 2, : w // 2 * 2].reshape(
+            n, h // 2, 2, w // 2, 2, c
+        ).mean(axis=(2, 4))
+
+    # truncate scales the image is too small for (the 11×11 window needs
+    # ≥ 11 px at every used level) and renormalize the weights
+    n_levels = 1
+    size = min(a.shape[1], a.shape[2])
+    while n_levels < len(weights) and (size // 2) >= 11:
+        n_levels += 1
+        size //= 2
+    used = np.asarray(weights[:n_levels])
+    used = used / used.sum()
+
+    vals = []
+    x, y = a, b
+    for level in range(n_levels):
+        cs, s = cs_and_ssim(x, y)
+        vals.append(s if level == n_levels - 1 else cs)
+        if level < n_levels - 1:
+            x, y = pool(x), pool(y)
+    out = jnp.asarray(1.0)
+    for v, w in zip(vals, used):
+        out = out * jnp.power(jnp.maximum(v, 1e-6), w)
+    return out
+
+
+def gradient_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Finite-difference gradient matching (reference models/loss.py:154-173;
+    defined but unused by the reference's runners — kept for parity).
+
+    pred/gt: [N, C, H, W]-style layout as the reference uses; here
+    [N, H, W, C]."""
+    h_p = pred[:, :, :-2, :] - pred[:, :, 2:, :]
+    h_g = gt[:, :, :-2, :] - gt[:, :, 2:, :]
+    v_p = pred[:, :-2, :, :] - pred[:, 2:, :, :]
+    v_g = gt[:, :-2, :, :] - gt[:, 2:, :, :]
+    return (jnp.mean(jnp.abs(h_p - h_g)) + jnp.mean(jnp.abs(v_p - v_g))) / 2.0
+
+
 def psnr_loss(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
     return -mse_to_psnr(l2(gt, pred))
 
 
 def ssim_loss(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - ssim(gt, pred)
+
+
+def msssim_loss(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 - ms_ssim(gt, pred)
 
 
 # ---------------------------------------------------------------------------

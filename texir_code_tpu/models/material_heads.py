@@ -111,6 +111,12 @@ class InvRenderMaterialModel(_HeadBase):
             key, jnp.zeros((1, 3)), jax.random.PRNGKey(0)
         )
 
+    def query_materials(self, params, points):
+        """(albedo [N,3], roughness [N,1]) at world points — for the
+        synthetic GT evaluation."""
+        out = self.network.apply(params, points, jax.random.PRNGKey(0))
+        return out["diffuse_albedo"], out["roughness"]
+
     def forward(self, params, mvp, cam_position, key) -> Dict[str, jnp.ndarray]:
         fn = self._jitted.get("fwd")
         if fn is None:
@@ -169,6 +175,10 @@ class NeILFMaterialModel(_HeadBase):
             "brdf": self.brdf_network.init(k1, jnp.zeros((1, 3))),
             "light": self.light_network.init(k2, jnp.zeros((1, 6))),
         }
+
+    def query_materials(self, params, points):
+        m = self.brdf_network.apply(params["brdf"], points)
+        return m[..., 0:3], m[..., 3:4]
 
     def forward(self, params, mvp, cam_position, key) -> Dict[str, jnp.ndarray]:
         fn = self._jitted.get("fwd")
@@ -245,6 +255,10 @@ class NvDiffRecMaterialModel(_HeadBase):
 
     def init_params(self, key):
         return self.network.init(key, jnp.zeros((1, 3)))
+
+    def query_materials(self, params, points):
+        m = self.network.apply(params, points)
+        return m[..., 0:3], m[..., 3:4]
 
     def forward(self, params, mvp, cam_position, key) -> Dict[str, jnp.ndarray]:
         fn = self._jitted.get("fwd")

@@ -175,6 +175,64 @@ class BaselineHeadRunner:
         return self.params
 
 
+def evaluate_head_materials_syn(
+    runner: "BaselineHeadRunner", texture_res: int = 128
+) -> Dict[str, float]:
+    """Synthetic-GT evaluation for the baseline heads (the reference's
+    train_material_{invrender,neilf,recMLP}_syn.py variants): query the
+    material field at atlas texel positions, compare against the GT atlases
+    with the same scale-invariant albedo + roughness metrics as MatSyn."""
+    import jax.numpy as jnp
+
+    from texir_code_tpu.data.datasets import ImageCubeSyn
+    from texir_code_tpu.models.losses import ssim
+    from texir_code_tpu.models.tracer_irt import bake_geometry_textures
+    from texir_code_tpu.ops.shading import mse_to_psnr
+    from texir_code_tpu.train.material_syn import scale_compute
+
+    ds = runner.dataset
+    if not isinstance(ds, ImageCubeSyn) or ds.gt_albedo is None:
+        raise ValueError("synthetic evaluation needs an ImageCubeSyn dataset with GT")
+
+    geom = bake_geometry_textures(runner.model.mesh, texture_res)
+    vr, vc = np.nonzero(geom.valid)
+    pts = jnp.asarray(geom.position[vr, vc])
+    albedo_f, rough_f = runner.model.query_materials(runner.params, pts)
+    albedo = np.zeros((texture_res, texture_res, 3), np.float32)
+    rough = np.zeros((texture_res, texture_res, 1), np.float32)
+    albedo[vr, vc] = np.asarray(albedo_f)
+    rough[vr, vc] = np.asarray(rough_f)
+
+    def resample(x, hw):
+        rows = (np.arange(hw[0]) * x.shape[0]) // hw[0]
+        cols = (np.arange(hw[1]) * x.shape[1]) // hw[1]
+        return x[rows][:, cols]
+
+    gt_a, gt_r = ds.gt_albedo, ds.gt_roughness
+    albedo = resample(albedo, gt_a.shape[:2])
+    rough = resample(rough, gt_r.shape[:2])
+    s = scale_compute(gt_a, albedo)
+    albedo_s = np.clip(albedo * s, 0, 1)
+
+    def metrics(pred, gt):
+        p = jnp.asarray(pred[None])
+        g = jnp.asarray(gt[None])
+        if p.shape[-1] == 1:
+            p, g = jnp.repeat(p, 3, -1), jnp.repeat(g, 3, -1)
+        m = float(jnp.mean((p - g) ** 2))
+        return m, float(mse_to_psnr(jnp.asarray(m))), float(ssim(p, g))
+
+    a = metrics(albedo_s, gt_a)
+    r = metrics(rough, gt_r)
+    out = {
+        "albedo_scale": s,
+        "albedo_mse": a[0], "albedo_psnr": a[1], "albedo_ssim": a[2],
+        "roughness_mse": r[0], "roughness_psnr": r[1], "roughness_ssim": r[2],
+    }
+    print(f"{runner.head} material eval:", out)
+    return out
+
+
 def InvRenderTrainRunner(conf, **kw):
     return BaselineHeadRunner(conf, "invrender", **kw)
 

@@ -118,6 +118,23 @@ class MatTrainRunner:
             )
         self.model = model
         self.params = init_material_params(albedo_res, roughness_res)
+        if self.exp.continued:
+            import jax.numpy as jnp
+
+            restored = ckpt.restore_checkpoint(
+                self.exp.checkpoints_dir,
+                {
+                    "albedo": np.asarray(self.params.albedo),
+                    "roughness": np.asarray(self.params.roughness),
+                },
+            )
+            if restored is not None:
+                from texir_code_tpu.models.material import MaterialParams
+
+                self.params = MaterialParams(
+                    albedo=jnp.asarray(restored["albedo"]),
+                    roughness=jnp.asarray(restored["roughness"]),
+                )
 
         self.nepochs = max_epochs or conf.get_int("train.mat_epoch", default=40)
         self.lr = conf.get_float("train.mat_learning_rate", default=3e-2)
