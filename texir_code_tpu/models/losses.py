@@ -22,6 +22,8 @@ Contents:
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Dict, Optional, Tuple
 
 import jax
