@@ -184,4 +184,5 @@ def test_msssim_and_gradient_loss(rng):
     b = jnp.clip(a + 0.1, 0, 1)
     assert float(ms_ssim(a, b)) < 1.0
     assert float(gradient_loss(a, a)) == 0.0
-    assert float(gradient_loss(a, b)) < 1e-6  # constant offset has no gradient
+    # constant (unclipped) offset has no finite-difference gradient
+    assert float(gradient_loss(a, a + 0.1)) < 1e-6
