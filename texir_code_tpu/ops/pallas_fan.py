@@ -1,0 +1,219 @@
+"""Pallas TPU kernel for shared-origin ray-fan intersection.
+
+The XLA fan stream (ops.fan_raycast) is VPU-bound but pays XLA overheads:
+per-scan-step leaf-row gathers, materialized where/select intermediates, and
+scan bookkeeping.  This kernel removes all of it:
+
+  * grid = (fan blocks × leaf blocks); leaf rows stream through SMEM as
+    *sequentially DMA'd blocks* — the kernel performs ZERO dynamic gathers;
+  * ray directions and the closest-hit state (t, prim, u, v) stay resident
+    in VMEM across the whole leaf dimension (the matmul-accumulator
+    pattern: the output block is revisited for every leaf block);
+  * the per-triangle plane-dual intersection runs as straight-line VPU code
+    on [TF, R] register tiles.
+
+It is exhaustive over leaves (the correct configuration for closed indoor
+scenes, where conservative beam culling cannot capture occlusion — see
+ops/fan_raycast.py); culled/tiled variants remain in XLA.
+
+Leaf rows use the FanScene layout (ops.fan_raycast.FAN_ROW_WIDTH = 72);
+padded rows/triangles are all-zero → zero normal → no hit, so no validity
+bookkeeping is needed in the inner loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texir_code_tpu.ops.fan_raycast import FAN_ROW_WIDTH, _TRI_BASE, _TRI_STRIDE, FanScene
+from texir_code_tpu.ops.raycast import RayHit, Vec3s
+
+_DET_EPS = 1e-12
+_BARY_EPS = 1e-7
+
+
+def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
+            t_ref, prim_ref, u_ref, v_ref, *, lb: int, t_min: float):
+    from jax.experimental import pallas as pl
+
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        t_ref[:] = jnp.full_like(t_ref, jnp.inf)
+        prim_ref[:] = jnp.full_like(prim_ref, -1)
+        u_ref[:] = jnp.zeros_like(u_ref)
+        v_ref[:] = jnp.zeros_like(v_ref)
+
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    ox = origins_ref[:, 0:1]
+    oy = origins_ref[:, 1:2]
+    oz = origins_ref[:, 2:3]
+
+    t_best = t_ref[:]
+    prim = prim_ref[:]
+    u_best = u_ref[:]
+    v_best = v_ref[:]
+
+    for j in range(lb):          # static unroll over the leaf block
+        for tri in range(4):
+            base = _TRI_BASE + _TRI_STRIDE * tri
+            nx = rows_ref[j, base]
+            ny = rows_ref[j, base + 1]
+            nz = rows_ref[j, base + 2]
+            dist = rows_ref[j, base + 3]
+            s1x = rows_ref[j, base + 4]
+            s1y = rows_ref[j, base + 5]
+            s1z = rows_ref[j, base + 6]
+            p0s1 = rows_ref[j, base + 7]
+            s2x = rows_ref[j, base + 8]
+            s2y = rows_ref[j, base + 9]
+            s2z = rows_ref[j, base + 10]
+            p0s2 = rows_ref[j, base + 11]
+            prim_id = prim_rows_ref[j, tri]
+
+            no = nx * ox + ny * oy + nz * oz            # [TF, 1]
+            ou = s1x * ox + s1y * oy + s1z * oz - p0s1
+            ov = s2x * ox + s2y * oy + s2z * oz - p0s2
+
+            nd = nx * dx + ny * dy + nz * dz            # [TF, R]
+            ok_nd = jnp.abs(nd) > _DET_EPS
+            inv_nd = jnp.where(ok_nd, 1.0 / jnp.where(ok_nd, nd, 1.0), 0.0)
+            t = (dist - no) * inv_nd
+            du = s1x * dx + s1y * dy + s1z * dz
+            dv = s2x * dx + s2y * dy + s2z * dz
+            uu = ou + t * du
+            vv = ov + t * dv
+            ok = (
+                ok_nd
+                & (uu >= -_BARY_EPS)
+                & (vv >= -_BARY_EPS)
+                & (uu + vv <= 1.0 + _BARY_EPS)
+                & (t > t_min)
+                & (t < t_best)
+            )
+            t_best = jnp.where(ok, t, t_best)
+            prim = jnp.where(ok, prim_id, prim)
+            u_best = jnp.where(ok, uu, u_best)
+            v_best = jnp.where(ok, vv, v_best)
+
+    t_ref[:] = t_best
+    prim_ref[:] = prim
+    u_ref[:] = u_best
+    v_ref[:] = v_best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fan_block", "leaf_block", "t_min", "interpret", "fan_chunk"),
+)
+def cast_ray_fans_pallas(
+    scene: FanScene,
+    origins: Vec3s,
+    dirs: Vec3s,
+    t_min: float = 0.0,
+    fan_block: int = 8,
+    leaf_block: int = 16,
+    interpret: bool = False,
+    fan_chunk: int = 4096,
+) -> RayHit:
+    """Exhaustive fan intersection on the Pallas kernel.
+
+    Args:
+        origins: 3×[T] per-fan origins; dirs: 3×[T, R] (R multiple of 128).
+        fan_block / leaf_block: VMEM tile sizes (TF fans × R rays state;
+            LB leaf rows in SMEM per step).
+        fan_chunk: fans per kernel launch — bounds each launch's output
+            footprint so XLA's memory-space coloring for fused consumers
+            can never push a full-size result into VMEM.
+    Returns:
+        RayHit of shape [T, R].
+    """
+    t_all = dirs[0].shape[0]
+    if t_all > fan_chunk:
+        outs = []
+        for s in range(0, t_all, fan_chunk):
+            sl = slice(s, min(s + fan_chunk, t_all))
+            outs.append(
+                cast_ray_fans_pallas(
+                    scene,
+                    tuple(a[sl] for a in origins),
+                    tuple(a[sl] for a in dirs),
+                    t_min=t_min, fan_block=fan_block, leaf_block=leaf_block,
+                    interpret=interpret, fan_chunk=fan_chunk,
+                )
+            )
+        return RayHit(
+            t=jnp.concatenate([o.t for o in outs]),
+            prim=jnp.concatenate([o.prim for o in outs]),
+            u=jnp.concatenate([o.u for o in outs]),
+            v=jnp.concatenate([o.v for o in outs]),
+        )
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_fans, r = dirs[0].shape
+    l = scene.rows.shape[0]
+
+    tf = fan_block
+    lb = leaf_block
+    t_pad = (-t_fans) % tf
+    l_pad = (-l) % lb
+    rows = scene.rows
+    if l_pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((l_pad, FAN_ROW_WIDTH), rows.dtype)]
+        )
+    # prim ids as their own int32 SMEM array (Mosaic has no scalar bitcast)
+    prim_rows = jax.lax.bitcast_convert_type(rows[:, 8:12], jnp.int32)
+    prim_rows = jnp.pad(prim_rows, ((0, 0), (0, 4)), constant_values=-1)
+    o_pack = jnp.stack(
+        [origins[0], origins[1], origins[2]], axis=-1
+    )  # [T, 3]
+    d = dirs
+    if t_pad:
+        o_pack = jnp.concatenate([o_pack, jnp.zeros((t_pad, 3))])
+        d = tuple(jnp.concatenate([a, jnp.zeros((t_pad, r))]) for a in d)
+    o_pack = jnp.pad(o_pack, ((0, 0), (0, 5)))  # [T, 8] for tiling
+
+    grid = ((t_fans + t_pad) // tf, (l + l_pad) // lb)
+
+    kernel = functools.partial(_kernel, lb=lb, t_min=t_min)
+    out_shape = [
+        jax.ShapeDtypeStruct(((t_fans + t_pad), r), jnp.float32),
+        jax.ShapeDtypeStruct(((t_fans + t_pad), r), jnp.int32),
+        jax.ShapeDtypeStruct(((t_fans + t_pad), r), jnp.float32),
+        jax.ShapeDtypeStruct(((t_fans + t_pad), r), jnp.float32),
+    ]
+    fan_spec = pl.BlockSpec((tf, r), lambda f, li: (f, 0), memory_space=pltpu.VMEM)
+    out_specs = [fan_spec] * 4
+
+    t, prim, u, v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tf, 8), lambda f, li: (f, 0), memory_space=pltpu.VMEM),
+            fan_spec, fan_spec, fan_spec,
+            pl.BlockSpec(
+                (lb, FAN_ROW_WIDTH), lambda f, li: (li, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (lb, 8), lambda f, li: (li, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(o_pack, d[0], d[1], d[2], rows, prim_rows)
+
+    return RayHit(
+        t=t[:t_fans], prim=prim[:t_fans], u=u[:t_fans], v=v[:t_fans]
+    )
