@@ -50,7 +50,7 @@ def main():
     scene = make_apartment_scene(atlas_res=256, subdiv=SUBDIV)
     fb = build_bvh(scene.mesh.vertices, scene.mesh.faces)
     tbl = build_tbl(scene.mesh, scene.hdr_texture)
-    fan = FanScene.from_flat(fb)
+    fan = FanScene.from_flat(fb, triangle_uvs=scene.mesh.triangle_uvs())
     geom = bake_geometry_textures(scene.mesh, ATLAS_GEOM_RES)
 
     # exhaustive leaf budget: exact with zero overflow logic — conservative

@@ -54,3 +54,67 @@ def test_pallas_fan_padding_paths():
                                leaf_block=16)
     assert got.t.shape == (11, 128)
     assert np.isfinite(np.asarray(got.t)).all()  # closed room
+
+
+def test_rgbe_roundtrip(rng):
+    from texir_code_tpu.models.tbl import rgbe_decode, rgbe_pack
+
+    tex = jnp.asarray((rng.random((16, 16, 3)) * 30).astype(np.float32))
+    packed = rgbe_pack(tex)
+    r, g, b = rgbe_decode(packed)
+    back = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+    pixmax = np.asarray(tex).max(-1, keepdims=True)
+    assert (np.abs(back - np.asarray(tex)) <= 0.01 * pixmax + 1e-4).all()
+    # zeros stay zero
+    z = rgbe_pack(jnp.zeros((2, 2, 3)))
+    rr, _, _ = rgbe_decode(z)
+    assert (np.asarray(rr) == 0).all()
+
+
+def test_uv_kernel_bake_matches_traversal_bake():
+    """The uv-emitting kernel + RGBE radiance path agrees with the
+    traversal-based bake to RGBE precision."""
+    from texir_code_tpu.geometry.bvh import build_bvh
+    from texir_code_tpu.models.tbl import build_tbl
+    from texir_code_tpu.models.tracer_irt import (
+        IrradianceTextureBaker,
+        bake_geometry_textures,
+    )
+
+    scene = make_scene(atlas_res=32, subdiv=2)
+    tbl = build_tbl(scene.mesh, scene.hdr_texture)
+    fb = build_bvh(scene.mesh.vertices, scene.mesh.faces)
+    fan = FanScene.from_flat(fb, triangle_uvs=scene.mesh.triangle_uvs())
+    geom = bake_geometry_textures(scene.mesh, 16)
+    key = jax.random.PRNGKey(5)
+    ref = IrradianceTextureBaker(tbl, spp=64, texel_batch=64).bake(geom, key)
+
+    # drive the uv-kernel path explicitly (bake_batch picks traversal on CPU,
+    # so call the pieces directly in interpret mode)
+    from texir_code_tpu.ops.pallas_fan import cast_ray_fans_pallas
+
+    baker = IrradianceTextureBaker(
+        tbl, spp=64, texel_batch=64, fan_scene=fan, max_leaves=fan.num_leaves
+    )
+    vr, vc = np.nonzero(geom.valid)
+    pts = jnp.asarray(geom.position[vr, vc])
+    nrm_a = jnp.asarray(geom.normal[vr, vc])
+    out = np.zeros((len(vr), 3), np.float32)
+    import jax as _jax
+
+    seed = _jax.random.randint(key, (), 0, 2**31 - 1)
+    for s in range(0, len(vr), 64):
+        sl = slice(s, min(s + 64, len(vr)))
+        ids = jnp.arange(sl.start, sl.stop, dtype=jnp.int32)
+        nrm = tuple(nrm_a[sl, k] for k in range(3))
+        dirs = baker._fan_dirs(nrm, ids, seed)
+        origins = tuple(pts[sl, k] + 1e-2 * nrm_a[sl, k] for k in range(3))
+        hit = cast_ray_fans_pallas(
+            fan, origins, dirs, t_min=0.0, emit_uv=True, interpret=True,
+            leaf_block=16,
+        )
+        out[sl] = np.asarray(
+            baker._fan_estimate_uv(hit.t, hit.u, hit.v, dirs, nrm)
+        )
+    want = ref[geom.valid]
+    np.testing.assert_allclose(out, want, rtol=0.02, atol=0.02)

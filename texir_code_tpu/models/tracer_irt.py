@@ -195,6 +195,16 @@ class IrradianceTextureBaker:
         self.surface_eps = surface_eps
         self.fan_scene = fan_scene
         self.max_leaves = max_leaves
+        # RGBE-packed atlas for the uv-emitting kernel path (same precision
+        # class as the .hdr files the atlas is loaded from)
+        from texir_code_tpu.models.tbl import rgbe_pack
+        from texir_code_tpu.ops.fan_raycast import FAN_ROW_WIDTH_UV
+
+        self._rgbe = rgbe_pack(jnp.stack(tbl.planes, axis=-1))
+        self._fan_has_uv = (
+            fan_scene is not None
+            and fan_scene.rows.shape[1] >= FAN_ROW_WIDTH_UV
+        )
 
     @partial(jax.jit, static_argnames=("self",))
     def _bake_batch_traversal(self, points, normals, texel_ids, seed):
@@ -216,6 +226,25 @@ class IrradianceTextureBaker:
         return generate_dir_soa(
             normals_soa, self.spp, jax.random.PRNGKey(seed), mode="uniform",
             row_keys=row_keys,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _fan_estimate_uv(self, hit_t, uu, vv, dirs, normals_soa):
+        """Estimator for the uv-emitting kernel: the hit's atlas uv is
+        already interpolated, radiance is one RGBE bilinear fetch."""
+        from texir_code_tpu.models.tbl import bilinear_rgbe
+
+        valid = jnp.isfinite(hit_t) & (hit_t > 1e-4)
+        r, g, b = bilinear_rgbe(
+            self._rgbe, jnp.clip(uu, 0.0, 1.0), jnp.clip(vv, 0.0, 1.0)
+        )
+        z = jnp.zeros_like(r)
+        lighting = (
+            jnp.where(valid, r, z), jnp.where(valid, g, z), jnp.where(valid, b, z),
+        )
+        return jnp.stack(
+            irradiance_estimator_soa(lighting, dirs, normals_soa, self.spp),
+            axis=-1,
         )
 
     @partial(jax.jit, static_argnames=("self",))
@@ -262,13 +291,17 @@ class IrradianceTextureBaker:
         exhaustive = self.max_leaves >= self.fan_scene.num_leaves
         if exhaustive and _jax.default_backend() != "cpu":
             # exhaustive leaf stream on the Pallas kernel (zero gathers,
-            # VMEM-resident state) — ~4× the XLA stream on v5e
+            # VMEM-resident state) — ~4× the XLA stream on v5e; with uv rows
+            # the kernel also interpolates the atlas uv, leaving a single
+            # RGBE bilinear fetch per ray
             from texir_code_tpu.ops.pallas_fan import cast_ray_fans_pallas
 
             hit = cast_ray_fans_pallas(
                 self.fan_scene, origins, dirs, t_min=0.0,
-                fan_block=8, leaf_block=32,
+                fan_block=8, leaf_block=32, emit_uv=self._fan_has_uv,
             )
+            if self._fan_has_uv:
+                return self._fan_estimate_uv(hit.t, hit.u, hit.v, dirs, nrm)
         else:
             hit = cast_ray_fans_exact(
                 self.fan_scene, self.tbl.bvh, origins, dirs, t_min=0.0,

@@ -41,10 +41,14 @@ _DET_EPS = 1e-12
 _BARY_EPS = 1e-7
 
 # per-leaf row: aabb(6) count(1) pad(1) prim(4) + 4 × [n(3) dist(1) s1(3)
-# p0s1(1) s2(3) p0s2(1) p0(3)] = 8 + 4 + 4*15 = 72
+# p0s1(1) s2(3) p0s2(1) p0(3)] = 8 + 4 + 4*15 = 72.  With texture uvs
+# (FanScene.from_flat(..., triangle_uvs=...)) each tri appends
+# (tu0, du1, du2, tv0, dv1, dv2) at 72 + 6*tri → width 96.
 FAN_ROW_WIDTH = 72
+FAN_ROW_WIDTH_UV = 96
 _TRI_BASE = 12
 _TRI_STRIDE = 15
+_UV_BASE = 72
 
 
 @jax.tree_util.register_pytree_node_class
@@ -67,13 +71,19 @@ class FanScene:
         return int(self.rows.shape[0])
 
     @classmethod
-    def from_flat(cls, bvh: FlatBVH) -> "FanScene":
+    def from_flat(cls, bvh: FlatBVH, triangle_uvs=None) -> "FanScene":
+        """Args:
+            triangle_uvs: optional [F*3, 2] per-corner uvs (mesh.triangle_uvs);
+                when given, rows carry interpolation coefficients for the
+                atlas uv at the hit (used by the uv-emitting Pallas kernel).
+        """
         if bvh.leaf_width != 4:
             raise ValueError("fan tracing assumes leaf_width == 4")
         is_leaf = bvh.leaf_count > 0
         idx = np.nonzero(is_leaf)[0]
         l = len(idx)
-        rows = np.zeros((l, FAN_ROW_WIDTH), np.float32)
+        width = FAN_ROW_WIDTH_UV if triangle_uvs is not None else FAN_ROW_WIDTH
+        rows = np.zeros((l, width), np.float32)
         rows[:, 0:3] = bvh.aabb_min[idx]
         rows[:, 3:6] = bvh.aabb_max[idx]
         rows[:, 6] = bvh.leaf_count[idx].view(np.float32)
@@ -97,6 +107,19 @@ class FanScene:
             rows[:, base + 11] = (s2 * p0).sum(-1).astype(np.float32)
             rows[:, base + 12 : base + 15] = p0.astype(np.float32)
             # degenerate padded slots: zero normal → |n·d| below eps → no hit
+            if triangle_uvs is not None:
+                prim = bvh.tri_prim[sl]
+                safe = np.maximum(prim, 0)
+                t0 = triangle_uvs[safe * 3]
+                t1 = triangle_uvs[safe * 3 + 1]
+                t2 = triangle_uvs[safe * 3 + 2]
+                ub = _UV_BASE + 6 * j
+                rows[:, ub] = t0[:, 0]
+                rows[:, ub + 1] = t1[:, 0] - t0[:, 0]
+                rows[:, ub + 2] = t2[:, 0] - t0[:, 0]
+                rows[:, ub + 3] = t0[:, 1]
+                rows[:, ub + 4] = t1[:, 1] - t0[:, 1]
+                rows[:, ub + 5] = t2[:, 1] - t0[:, 1]
         lo = bvh.aabb_min.min(axis=0)
         hi = bvh.aabb_max.max(axis=0)
         return cls(

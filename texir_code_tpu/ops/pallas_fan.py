@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from texir_code_tpu.ops.fan_raycast import FAN_ROW_WIDTH, _TRI_BASE, _TRI_STRIDE, FanScene
+from texir_code_tpu.ops.fan_raycast import (
+    FAN_ROW_WIDTH,
+    FAN_ROW_WIDTH_UV,
+    _TRI_BASE,
+    _TRI_STRIDE,
+    _UV_BASE,
+    FanScene,
+)
 from texir_code_tpu.ops.raycast import RayHit, Vec3s
 
 _DET_EPS = 1e-12
@@ -38,7 +45,8 @@ _BARY_EPS = 1e-7
 
 
 def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
-            t_ref, prim_ref, u_ref, v_ref, *, lb: int, t_min: float):
+            t_ref, prim_ref, u_ref, v_ref, *, lb: int, t_min: float,
+            emit_uv: bool = False):
     from jax.experimental import pallas as pl
 
     l_idx = pl.program_id(1)
@@ -101,8 +109,16 @@ def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
             )
             t_best = jnp.where(ok, t, t_best)
             prim = jnp.where(ok, prim_id, prim)
-            u_best = jnp.where(ok, uu, u_best)
-            v_best = jnp.where(ok, vv, v_best)
+            if emit_uv:
+                # atlas uv at the hit: tu0 + u·du1 + v·du2 (and likewise v)
+                ub = _UV_BASE + 6 * tri
+                au = rows_ref[j, ub] + uu * rows_ref[j, ub + 1] + vv * rows_ref[j, ub + 2]
+                av = rows_ref[j, ub + 3] + uu * rows_ref[j, ub + 4] + vv * rows_ref[j, ub + 5]
+                u_best = jnp.where(ok, au, u_best)
+                v_best = jnp.where(ok, av, v_best)
+            else:
+                u_best = jnp.where(ok, uu, u_best)
+                v_best = jnp.where(ok, vv, v_best)
 
     t_ref[:] = t_best
     prim_ref[:] = prim
@@ -112,7 +128,9 @@ def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fan_block", "leaf_block", "t_min", "interpret", "fan_chunk"),
+    static_argnames=(
+        "fan_block", "leaf_block", "t_min", "interpret", "fan_chunk", "emit_uv",
+    ),
 )
 def cast_ray_fans_pallas(
     scene: FanScene,
@@ -123,8 +141,14 @@ def cast_ray_fans_pallas(
     leaf_block: int = 16,
     interpret: bool = False,
     fan_chunk: int = 4096,
+    emit_uv: bool = False,
 ) -> RayHit:
     """Exhaustive fan intersection on the Pallas kernel.
+
+    With emit_uv=True the returned RayHit's (u, v) carry the interpolated
+    ATLAS texture coordinates of the hit instead of barycentrics (requires a
+    FanScene built with triangle_uvs) — the bake path then needs no
+    per-corner uv gathers at all.
 
     Args:
         origins: 3×[T] per-fan origins; dirs: 3×[T, R] (R multiple of 128).
@@ -147,7 +171,7 @@ def cast_ray_fans_pallas(
                     tuple(a[sl] for a in origins),
                     tuple(a[sl] for a in dirs),
                     t_min=t_min, fan_block=fan_block, leaf_block=leaf_block,
-                    interpret=interpret, fan_chunk=fan_chunk,
+                    interpret=interpret, fan_chunk=fan_chunk, emit_uv=emit_uv,
                 )
             )
         return RayHit(
@@ -167,9 +191,10 @@ def cast_ray_fans_pallas(
     t_pad = (-t_fans) % tf
     l_pad = (-l) % lb
     rows = scene.rows
+    row_w = rows.shape[1]
     if l_pad:
         rows = jnp.concatenate(
-            [rows, jnp.zeros((l_pad, FAN_ROW_WIDTH), rows.dtype)]
+            [rows, jnp.zeros((l_pad, row_w), rows.dtype)]
         )
     # prim ids as their own int32 SMEM array (Mosaic has no scalar bitcast)
     prim_rows = jax.lax.bitcast_convert_type(rows[:, 8:12], jnp.int32)
@@ -185,7 +210,9 @@ def cast_ray_fans_pallas(
 
     grid = ((t_fans + t_pad) // tf, (l + l_pad) // lb)
 
-    kernel = functools.partial(_kernel, lb=lb, t_min=t_min)
+    if emit_uv and rows.shape[1] < FAN_ROW_WIDTH_UV:
+        raise ValueError("emit_uv requires a FanScene built with triangle_uvs")
+    kernel = functools.partial(_kernel, lb=lb, t_min=t_min, emit_uv=emit_uv)
     out_shape = [
         jax.ShapeDtypeStruct(((t_fans + t_pad), r), jnp.float32),
         jax.ShapeDtypeStruct(((t_fans + t_pad), r), jnp.int32),
@@ -202,7 +229,7 @@ def cast_ray_fans_pallas(
             pl.BlockSpec((tf, 8), lambda f, li: (f, 0), memory_space=pltpu.VMEM),
             fan_spec, fan_spec, fan_spec,
             pl.BlockSpec(
-                (lb, FAN_ROW_WIDTH), lambda f, li: (li, 0),
+                (lb, row_w), lambda f, li: (li, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(

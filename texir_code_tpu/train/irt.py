@@ -62,7 +62,7 @@ class IrrTextureRunner:
         fan = None
         if use_fan:
             fb = build_bvh(self.mesh.vertices, self.mesh.faces)
-            fan = FanScene.from_flat(fb)
+            fan = FanScene.from_flat(fb, triangle_uvs=self.mesh.triangle_uvs())
         self.baker = IrradianceTextureBaker(
             self.tbl, spp=int(spp), texel_batch=4096, fan_scene=fan,
             max_leaves=fan.num_leaves if fan is not None else 768,
