@@ -117,13 +117,36 @@ class MaterialModel:
 
         self.mesh = mesh
         self.device_mesh = DeviceMesh.from_mesh(mesh)
-        self.tbl = build_tbl(mesh, hdr_texture, hdr_exposure, leaf_width=leaf_width)
+        from texir_code_tpu.geometry.bvh import build_bvh
+        from texir_code_tpu.models.tbl import build_tbl_from_flat
+        from texir_code_tpu.ops.fan_raycast import FanScene
+
+        flat = build_bvh(mesh.vertices, mesh.faces, leaf_width=leaf_width)
+        self.tbl = build_tbl_from_flat(flat, mesh, hdr_texture, hdr_exposure)
         self.tbl_vhl = self.tbl.with_texture(
             vhl_texture(self.tbl.texture, hdr_exposure)
         )
+        self.fan_scene = FanScene.from_flat(flat)
         self.irt = jnp.asarray(irt_texture)
 
+        # On TPU, primary visibility and specular rays run on the Pallas
+        # leaf-stream kernels (see ops/pallas_fan.py and PERF.md); the XLA
+        # skip-link traversal remains the CPU/test path.
+        import jax as _jax
+
+        self.use_pallas = _jax.default_backend() != "cpu"
+
         self._jitted = {}
+
+    @staticmethod
+    def _row_split(n: int, max_r: int = 2048) -> int:
+        """Largest multiple-of-128 row width dividing n (for reshaping flat
+        ray batches into the kernels' [T, R] layout)."""
+        r = min(max_r, n)
+        r -= r % 128
+        while r > 128 and n % r:
+            r -= 128
+        return max(r, 128) if n % 128 == 0 else 1
 
     # -- public API --------------------------------------------------------
 
@@ -180,7 +203,8 @@ class MaterialModel:
         stage: int,
     ) -> Dict[str, jnp.ndarray]:
         g = render_gbuffer(
-            self.device_mesh, self.tbl.bvh, mvp, cam_position, self.cube_res
+            self.device_mesh, self.tbl.bvh, mvp, cam_position, self.cube_res,
+            fan_scene=self.fan_scene if self.use_pallas else None,
         )
         # G-buffers are non-differentiable by construction here (ray cast),
         # matching the reference's detach discipline.
@@ -275,11 +299,34 @@ class MaterialModel:
             n, s_spec, key, mode=self.sample_type[1], roughness=rgh
         )
         light_dirs, _ = reflect_soa(view, half)
-        lighting = query_tbl_soa(
-            tbl,
-            tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
-            jax.lax.stop_gradient(light_dirs),
+        spec_origins = tuple(
+            jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts
         )
+        total = b * s_spec
+        if self.use_pallas and total % 128 == 0:
+            # per-pixel-origin specular rays on the Pallas stream kernel
+            from texir_code_tpu.models.tbl import radiance_from_hit
+            from texir_code_tpu.ops.pallas_fan import cast_rays_pallas_stream
+
+            r_split = self._row_split(total)
+            rows = total // r_split
+            hit = cast_rays_pallas_stream(
+                self.fan_scene,
+                tuple(o.reshape(rows, r_split) for o in spec_origins),
+                tuple(
+                    jax.lax.stop_gradient(d).reshape(rows, r_split)
+                    for d in light_dirs
+                ),
+                t_min=0.0,
+            )
+            lighting = tuple(
+                x.reshape(b, s_spec)
+                for x in radiance_from_hit(tbl, hit)
+            )
+        else:
+            lighting = query_tbl_soa(
+                tbl, spec_origins, jax.lax.stop_gradient(light_dirs)
+            )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh
         )

@@ -71,6 +71,19 @@ class TBL:
         return TBL(self.bvh, self.uv_u, self.uv_v, planes)
 
 
+def build_tbl_from_flat(flat_bvh, mesh, texture, hdr_exposure: float = 0.0) -> TBL:
+    """TBL from a pre-built FlatBVH (lets callers share one build between
+    the TBL, FanScene, and TiledScene)."""
+    tuv = mesh.triangle_uvs()
+    tex = np.asarray(texture, np.float32) * (2.0 ** hdr_exposure)
+    return TBL(
+        bvh=DeviceBVH.from_flat(flat_bvh),
+        uv_u=jnp.asarray(np.ascontiguousarray(tuv[:, 0])),
+        uv_v=jnp.asarray(np.ascontiguousarray(tuv[:, 1])),
+        planes=tuple(jnp.asarray(np.ascontiguousarray(tex[..., k])) for k in range(3)),
+    )
+
+
 def build_tbl(mesh, texture, hdr_exposure: float = 0.0, leaf_width: int = 4) -> TBL:
     """Host-side constructor: mesh + HDR atlas → device TBL.
 
@@ -81,17 +94,8 @@ def build_tbl(mesh, texture, hdr_exposure: float = 0.0, leaf_width: int = 4) -> 
     """
     from texir_code_tpu.geometry.bvh import build_bvh
 
-    bvh = DeviceBVH.from_flat(
-        build_bvh(mesh.vertices, mesh.faces, leaf_width=leaf_width)
-    )
-    tuv = mesh.triangle_uvs()
-    tex = np.asarray(texture, np.float32) * (2.0 ** hdr_exposure)
-    return TBL(
-        bvh=bvh,
-        uv_u=jnp.asarray(np.ascontiguousarray(tuv[:, 0])),
-        uv_v=jnp.asarray(np.ascontiguousarray(tuv[:, 1])),
-        planes=tuple(jnp.asarray(np.ascontiguousarray(tex[..., k])) for k in range(3)),
-    )
+    flat = build_bvh(mesh.vertices, mesh.faces, leaf_width=leaf_width)
+    return build_tbl_from_flat(flat, mesh, texture, hdr_exposure)
 
 
 def vhl_texture(texture: jnp.ndarray, hdr_exposure: float) -> jnp.ndarray:

@@ -156,6 +156,7 @@ def render_gbuffer(
     mvp: jnp.ndarray,
     cam_position: jnp.ndarray,
     res: int,
+    fan_scene=None,
 ) -> GBuffer:
     """Render cube-face G-buffers by primary-ray casting.
 
@@ -166,12 +167,36 @@ def render_gbuffer(
         cam_position: [3].
         res: face resolution (reference cube_res = pano_w/4,
             models/mat_nvdiffrast.py:45).
+        fan_scene: optional ops.fan_raycast.FanScene — the camera's pixels
+            are one big shared-origin ray fan, so when given (and on TPU)
+            primary visibility runs on the Pallas fan kernel.
     """
     nfaces = mvp.shape[0]
     dirs = ray_dirs_from_mvp(mvp, cam_position, res)          # [F, r, r, 3]
     flat_dirs = dirs.reshape(-1, 3)
-    origins = jnp.broadcast_to(cam_position, flat_dirs.shape)
-    hit = cast_rays(bvh, origins, flat_dirs, t_min=1e-6)
+    n = flat_dirs.shape[0]
+    if fan_scene is not None and n % 128 == 0:
+        from texir_code_tpu.ops.pallas_fan import cast_ray_fans_pallas
+
+        r_split = min(2048, n)
+        while n % r_split:
+            r_split -= 128
+        rows = n // r_split
+        hit = cast_ray_fans_pallas(
+            fan_scene,
+            tuple(jnp.broadcast_to(cam_position[k], (rows,)) for k in range(3)),
+            tuple(flat_dirs[:, k].reshape(rows, r_split) for k in range(3)),
+            t_min=1e-6,
+        )
+        from texir_code_tpu.ops.raycast import RayHit
+
+        hit = RayHit(
+            t=hit.t.reshape(-1), prim=hit.prim.reshape(-1),
+            u=hit.u.reshape(-1), v=hit.v.reshape(-1),
+        )
+    else:
+        origins = jnp.broadcast_to(cam_position, flat_dirs.shape)
+        hit = cast_rays(bvh, origins, flat_dirs, t_min=1e-6)
 
     valid = hit.prim >= 0
     position, normal, uv = interpolate_attributes(mesh, hit)

@@ -46,7 +46,7 @@ _BARY_EPS = 1e-7
 
 def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
             t_ref, prim_ref, u_ref, v_ref, *, lb: int, t_min: float,
-            emit_uv: bool = False):
+            emit_uv: bool = False, per_ray_origins: bool = False):
     from jax.experimental import pallas as pl
 
     l_idx = pl.program_id(1)
@@ -61,9 +61,16 @@ def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
-    ox = origins_ref[:, 0:1]
-    oy = origins_ref[:, 1:2]
-    oz = origins_ref[:, 2:3]
+    if per_ray_origins:
+        # origins_ref is [TF, 3*R]: x | y | z contiguous slabs
+        r = dx.shape[1]
+        ox = origins_ref[:, 0:r]
+        oy = origins_ref[:, r:2 * r]
+        oz = origins_ref[:, 2 * r:3 * r]
+    else:
+        ox = origins_ref[:, 0:1]
+        oy = origins_ref[:, 1:2]
+        oz = origins_ref[:, 2:3]
 
     t_best = t_ref[:]
     prim = prim_ref[:]
@@ -243,4 +250,86 @@ def cast_ray_fans_pallas(
 
     return RayHit(
         t=t[:t_fans], prim=prim[:t_fans], u=u[:t_fans], v=v[:t_fans]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fan_block", "leaf_block", "t_min", "interpret", "emit_uv"),
+)
+def cast_rays_pallas_stream(
+    scene: FanScene,
+    origins: Vec3s,
+    dirs: Vec3s,
+    t_min: float = 0.0,
+    fan_block: int = 8,
+    leaf_block: int = 32,
+    interpret: bool = False,
+    emit_uv: bool = False,
+) -> RayHit:
+    """Exhaustive leaf-stream intersection for rays with PER-RAY origins.
+
+    The general-ray sibling of cast_ray_fans_pallas (Mat-stage specular rays
+    have one origin per pixel): same zero-gather leaf streaming, with the
+    origin components resident in VMEM alongside the directions (~25% more
+    VPU work per test than the shared-origin fan mode).
+
+    Args:
+        origins / dirs: 3-tuples of [T, R] float32 (flatten any ray batch
+            into rows; R must be a multiple of 128).
+    Returns:
+        RayHit of shape [T, R].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_rows, r = dirs[0].shape
+    l = scene.rows.shape[0]
+    tf = fan_block
+    lb = leaf_block
+    t_pad = (-t_rows) % tf
+    l_pad = (-l) % lb
+    rows = scene.rows
+    row_w = rows.shape[1]
+    if l_pad:
+        rows = jnp.concatenate([rows, jnp.zeros((l_pad, row_w), rows.dtype)])
+    prim_rows = jax.lax.bitcast_convert_type(rows[:, 8:12], jnp.int32)
+    prim_rows = jnp.pad(prim_rows, ((0, 0), (0, 4)), constant_values=-1)
+
+    o_pack = jnp.concatenate([origins[0], origins[1], origins[2]], axis=1)
+    d = dirs
+    if t_pad:
+        o_pack = jnp.concatenate([o_pack, jnp.zeros((t_pad, 3 * r))])
+        d = tuple(jnp.concatenate([a, jnp.zeros((t_pad, r))]) for a in d)
+
+    grid = ((t_rows + t_pad) // tf, (l + l_pad) // lb)
+    if emit_uv and row_w < FAN_ROW_WIDTH_UV:
+        raise ValueError("emit_uv requires a FanScene built with triangle_uvs")
+    kernel = functools.partial(
+        _kernel, lb=lb, t_min=t_min, emit_uv=emit_uv, per_ray_origins=True
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(((t_rows + t_pad), r), jnp.float32),
+        jax.ShapeDtypeStruct(((t_rows + t_pad), r), jnp.int32),
+        jax.ShapeDtypeStruct(((t_rows + t_pad), r), jnp.float32),
+        jax.ShapeDtypeStruct(((t_rows + t_pad), r), jnp.float32),
+    ]
+    fan_spec = pl.BlockSpec((tf, r), lambda f, li: (f, 0), memory_space=pltpu.VMEM)
+
+    t, prim, u, v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tf, 3 * r), lambda f, li: (f, 0), memory_space=pltpu.VMEM),
+            fan_spec, fan_spec, fan_spec,
+            pl.BlockSpec((lb, row_w), lambda f, li: (li, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((lb, 8), lambda f, li: (li, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[fan_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(o_pack, d[0], d[1], d[2], rows, prim_rows)
+
+    return RayHit(
+        t=t[:t_rows], prim=prim[:t_rows], u=u[:t_rows], v=v[:t_rows]
     )
