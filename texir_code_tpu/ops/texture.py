@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -234,6 +235,57 @@ def compute_lod(
     return jnp.maximum(jnp.log2(footprint), 0.0)
 
 
+def _flat_pyramid_fetch(
+    flat: jnp.ndarray,
+    offsets: jnp.ndarray,
+    widths: jnp.ndarray,
+    heights: jnp.ndarray,
+    level: jnp.ndarray,
+    uv: jnp.ndarray,
+    boundary: str,
+) -> jnp.ndarray:
+    """Bilinear fetch at a per-sample mip level from a flattened pyramid.
+
+    The pyramid levels are concatenated into one [total, C] array; per
+    sample, the level's (offset, width, height) are tiny-table lookups and
+    the four corner fetches are gathers into the flat array — so the cost is
+    8 gathers per trilinear sample regardless of pyramid depth (the naive
+    sample-every-level form costs 4·n_levels)."""
+    w = jnp.take(widths, level).astype(uv.dtype)
+    h = jnp.take(heights, level).astype(uv.dtype)
+    off = jnp.take(offsets, level)
+    wi = jnp.take(widths, level)
+    hi_ = jnp.take(heights, level)
+
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    if boundary == "wrap":
+        xs = (jnp.mod(x0i, wi), jnp.mod(x0i + 1, wi))
+        ys = (jnp.mod(y0i, hi_), jnp.mod(y0i + 1, hi_))
+    else:
+        xs = (jnp.clip(x0i, 0, wi - 1), jnp.clip(x0i + 1, 0, wi - 1))
+        ys = (jnp.clip(y0i, 0, hi_ - 1), jnp.clip(y0i + 1, 0, hi_ - 1))
+
+    def fetch(yy, xx):
+        idx = off + yy * wi + xx
+        out = jnp.take(flat, idx.reshape(-1), axis=0)
+        return out.reshape(idx.shape + (flat.shape[-1],))
+
+    t00 = fetch(ys[0], xs[0])
+    t01 = fetch(ys[0], xs[1])
+    t10 = fetch(ys[1], xs[0])
+    t11 = fetch(ys[1], xs[1])
+    top = t00 * (1 - fx) + t01 * fx
+    bot = t10 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
 def texture_sample(
     pyramid: Sequence[jnp.ndarray],
     uv: jnp.ndarray,
@@ -256,20 +308,20 @@ def texture_sample(
         return bilinear_sample(pyramid[0], uv, boundary)
 
     n_levels = len(pyramid)
+    c = pyramid[0].shape[-1]
+    sizes = [p.shape[0] * p.shape[1] for p in pyramid]
+    offsets = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
+    widths = jnp.asarray([p.shape[1] for p in pyramid], jnp.int32)
+    heights = jnp.asarray([p.shape[0] for p in pyramid], jnp.int32)
+    flat = jnp.concatenate([p.reshape(-1, c) for p in pyramid], axis=0)
+
     lod = jnp.clip(lod, 0.0, n_levels - 1.0)
     lo = jnp.floor(lod).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_levels - 1)
     frac = (lod - lo.astype(lod.dtype))[..., None]
 
-    # sample every level and blend with one-hot weights: static shapes, no
-    # data-dependent control flow.  Cost is n_levels gathers; for the
-    # common case (few distinct LODs per image) XLA hoists the gathers well,
-    # and the pyramid tail levels are tiny.
-    out_lo = jnp.zeros(uv.shape[:-1] + (pyramid[0].shape[-1],), pyramid[0].dtype)
-    out_hi = jnp.zeros_like(out_lo)
-    for k in range(n_levels):
-        sk = bilinear_sample(pyramid[k], uv, boundary)
-        out_lo = jnp.where((lo == k)[..., None], sk, out_lo)
-        out_hi = jnp.where((jnp.minimum(lo + 1, n_levels - 1) == k)[..., None], sk, out_hi)
+    out_lo = _flat_pyramid_fetch(flat, offsets, widths, heights, lo, uv, boundary)
+    out_hi = _flat_pyramid_fetch(flat, offsets, widths, heights, hi, uv, boundary)
     return out_lo * (1.0 - frac) + out_hi * frac
 
 
