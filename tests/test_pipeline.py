@@ -133,3 +133,23 @@ def test_mat_runner(pipeline_env):
     # metrics finite
     m = runner.render_calculate(2)
     assert np.isfinite(m["psnr"])
+
+
+def test_mat_plot_to_disk(pipeline_env):
+    """Periodic training plots write stacked pred/gt pano grids."""
+    import glob
+
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    runner = MatTrainRunner(
+        conf, expname="plots", exps_root=exps, albedo_res=16, roughness_res=16
+    )
+    runner.build_masks()
+    runner.plot_to_disk(0, "t0")
+    files = glob.glob(os.path.join(runner.exp.plots_dir, "*_t0.hdr"))
+    assert len(files) == 2  # one per view
+    from texir_code_tpu.data import hdrio
+
+    img = hdrio.read_hdr(files[0])
+    assert img.shape[0] == 2 * 32  # stacked pred over gt at pano height 32

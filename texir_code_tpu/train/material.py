@@ -280,9 +280,37 @@ class MatTrainRunner:
                     f"seg_loss_{self.loss_type}_stage{stage}", float(seg_term), cur_iter
                 )
                 cur_iter += 1
+            if self.plot_freq and (epoch + 1) % self.plot_freq == 0:
+                self.plot_to_disk(stage, f"s{stage}_e{epoch}")
         return cur_iter
 
     # ------------------------------------------------------------------
+    def plot_to_disk(self, stage: int, tag: str):
+        """Periodic pano plots of GT vs prediction (reference
+        plot_to_disk_cube, :323-346): render each view, warp cube faces to a
+        pano, write a stacked pred/gt HDR grid."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.ops.pano import PanoCubeWarp
+
+        res = self.model.cube_res
+        warp = PanoCubeWarp(self.pano_res[0], self.pano_res[1], res)
+        for i in range(len(self.dataset)):
+            item = self.dataset[i]
+            out = self.model.forward(
+                self.params,
+                jnp.asarray(item["cam_to_world"]),
+                jnp.asarray(item["cam_position"]),
+                stage,
+                jax.random.fold_in(self.key, 30_000 + i),
+            )
+            pred = np.asarray(warp.to_pano(out["rgb"]))
+            gt = np.asarray(warp.to_pano(jnp.asarray(item["color"])))
+            hdrio.plot_irf(
+                os.path.join(self.exp.plots_dir, f"{i}_{tag}.hdr"), pred, gt
+            )
+
     def save_materials(self, tag: str = "final"):
         """Write the optimized atlases to plots/ (the artifact checkpoints
         the testers consume, reference models/test_nvdiffrast.py:119-130)
