@@ -150,11 +150,14 @@ class EvalMaterialModel(MaterialModel):
         alb = albedo.reshape(b, 3)
         rgh = roughness.reshape(b)
 
+        from texir_code_tpu.models.tbl import query_tbl_auto
+
         k_diff, k_spec = jax.random.split(key)
         # live MC diffuse irradiance over the relit emitter
         dirs = generate_dir_soa(n, diffuse_spp, k_diff, mode="uniform")
-        lighting = query_tbl_soa(
+        lighting = query_tbl_auto(
             tbl,
+            self.fan_scene if self.use_pallas else None,
             tuple(jnp.broadcast_to(p[:, None], (b, diffuse_spp)) for p in pts),
             dirs,
         )
@@ -172,8 +175,9 @@ class EvalMaterialModel(MaterialModel):
         s_spec = self.sample_light[1]
         half = generate_dir_soa(n, s_spec, k_spec, mode="importance", roughness=rgh)
         light_dirs, _ = reflect_soa(view, half)
-        spec_light = query_tbl_soa(
+        spec_light = query_tbl_auto(
             tbl,
+            self.fan_scene if self.use_pallas else None,
             tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
             light_dirs,
         )

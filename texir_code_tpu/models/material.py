@@ -302,31 +302,16 @@ class MaterialModel:
         spec_origins = tuple(
             jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts
         )
-        total = b * s_spec
-        if self.use_pallas and total % 128 == 0:
-            # per-pixel-origin specular rays on the Pallas stream kernel
-            from texir_code_tpu.models.tbl import radiance_from_hit
-            from texir_code_tpu.ops.pallas_fan import cast_rays_pallas_stream
+        # per-pixel-origin specular rays: Pallas stream kernel on TPU,
+        # skip-link traversal on CPU
+        from texir_code_tpu.models.tbl import query_tbl_auto
 
-            r_split = self._row_split(total)
-            rows = total // r_split
-            hit = cast_rays_pallas_stream(
-                self.fan_scene,
-                tuple(o.reshape(rows, r_split) for o in spec_origins),
-                tuple(
-                    jax.lax.stop_gradient(d).reshape(rows, r_split)
-                    for d in light_dirs
-                ),
-                t_min=0.0,
-            )
-            lighting = tuple(
-                x.reshape(b, s_spec)
-                for x in radiance_from_hit(tbl, hit)
-            )
-        else:
-            lighting = query_tbl_soa(
-                tbl, spec_origins, jax.lax.stop_gradient(light_dirs)
-            )
+        lighting = query_tbl_auto(
+            tbl,
+            self.fan_scene if self.use_pallas else None,
+            spec_origins,
+            tuple(jax.lax.stop_gradient(d) for d in light_dirs),
+        )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh
         )

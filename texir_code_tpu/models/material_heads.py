@@ -62,13 +62,23 @@ class _HeadBase:
         )
         self.mesh = mesh
         self.device_mesh = DeviceMesh.from_mesh(mesh)
-        self.tbl = build_tbl(mesh, hdr_texture, hdr_exposure)
+        from texir_code_tpu.geometry.bvh import build_bvh
+        from texir_code_tpu.models.tbl import build_tbl_from_flat
+        from texir_code_tpu.ops.fan_raycast import FanScene
+
+        flat = build_bvh(mesh.vertices, mesh.faces)
+        self.tbl = build_tbl_from_flat(flat, mesh, hdr_texture, hdr_exposure)
+        self.fan_scene = FanScene.from_flat(flat)
+        import jax as _jax
+
+        self.use_pallas = _jax.default_backend() != "cpu"
         self.irt = jnp.asarray(irt_texture)
         self._jitted = {}
 
     def _gbuffer(self, mvp, cam_position):
         g = render_gbuffer(
-            self.device_mesh, self.tbl.bvh, mvp, cam_position, self.cube_res
+            self.device_mesh, self.tbl.bvh, mvp, cam_position, self.cube_res,
+            fan_scene=self.fan_scene if self.use_pallas else None,
         )
         normal = jax.lax.stop_gradient(g.normal)
         position = jax.lax.stop_gradient(g.position)
@@ -79,16 +89,19 @@ class _HeadBase:
         return position, normal, irr, g.mask
 
     def _specular(self, n, view, pts, rgh, key):
+        from texir_code_tpu.models.tbl import query_tbl_auto
+
         s_spec = self.sample_light[1]
         half = generate_dir_soa(
             n, s_spec, key, mode=self.sample_type[1], roughness=rgh
         )
         light_dirs, _ = reflect_soa(view, half)
         b = n[0].shape[0]
-        lighting = query_tbl_soa(
+        lighting = query_tbl_auto(
             self.tbl,
+            self.fan_scene if self.use_pallas else None,
             tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
-            jax.lax.stop_gradient(light_dirs),
+            tuple(jax.lax.stop_gradient(d) for d in light_dirs),
         )
         spec = shading.specular_estimator_soa(lighting, half, n, view, light_dirs, rgh)
         return jnp.stack(spec, axis=-1) / s_spec

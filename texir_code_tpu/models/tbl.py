@@ -286,6 +286,69 @@ def query_tbl_fans(
     return radiance_from_hit(tbl, hit, t_valid)
 
 
+def _row_split(n: int, max_r: int = 2048) -> int:
+    """Largest multiple-of-128 row width dividing n (kernel [T, R] layout)."""
+    r = min(max_r, n)
+    r -= r % 128
+    while r > 128 and n % r:
+        r -= 128
+    return r
+
+
+def query_tbl_stream(
+    tbl: TBL,
+    fan_scene,
+    origins,
+    dirs,
+    t_valid: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """TBL query on the Pallas per-ray leaf-stream kernel.
+
+    The fast path for bulk secondary rays (specular MC, live-MC diffuse)
+    when a FanScene is available and the backend is TPU; callers fall back
+    to query_tbl_soa on CPU.  Same semantics as query_tbl_soa.
+
+    Args:
+        origins / dirs: 3-tuples of same-shape arrays (any shape whose total
+            size is a multiple of 128).
+    """
+    from texir_code_tpu.ops.pallas_fan import cast_rays_pallas_stream
+
+    shape = origins[0].shape
+    total = int(np.prod(shape))
+    r = _row_split(total)
+    rows = total // r
+    hit = cast_rays_pallas_stream(
+        fan_scene,
+        tuple(o.reshape(rows, r) for o in origins),
+        tuple(d.reshape(rows, r) for d in dirs),
+        t_min=0.0,
+    )
+    out = radiance_from_hit(tbl, hit, t_valid)
+    return tuple(x.reshape(shape) for x in out)
+
+
+def query_tbl_auto(
+    tbl: TBL,
+    fan_scene,
+    origins,
+    dirs,
+    t_valid: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dispatch: Pallas stream on TPU (when a FanScene is given and shapes
+    divide by 128), XLA skip-link traversal otherwise."""
+    import jax as _jax
+
+    total = int(np.prod(origins[0].shape))
+    if (
+        fan_scene is not None
+        and _jax.default_backend() != "cpu"
+        and total % 128 == 0
+    ):
+        return query_tbl_stream(tbl, fan_scene, origins, dirs, t_valid)
+    return query_tbl_soa(tbl, origins, dirs, t_valid)
+
+
 def query_tbl(
     tbl: TBL,
     points: jnp.ndarray,
