@@ -138,16 +138,6 @@ class MaterialModel:
 
         self._jitted = {}
 
-    @staticmethod
-    def _row_split(n: int, max_r: int = 2048) -> int:
-        """Largest multiple-of-128 row width dividing n (for reshaping flat
-        ray batches into the kernels' [T, R] layout)."""
-        r = min(max_r, n)
-        r -= r % 128
-        while r > 128 and n % r:
-            r -= 128
-        return max(r, 128) if n % 128 == 0 else 1
-
     # -- public API --------------------------------------------------------
 
     def forward(

@@ -149,7 +149,6 @@ class MatTrainRunner:
         self.roomseg = parse_roomseg(roomseg_dir)
 
         self.masks: Dict[str, Dict[str, np.ndarray]] = {}
-        self._steps = {}
 
     # ------------------------------------------------------------------
     def build_masks(self):
