@@ -357,3 +357,148 @@ def make_apartment_scene(
         mesh=mesh, hdr_texture=hdr, gt_albedo=gt_albedo, gt_roughness=gt_rough,
         seg_texture=seg, lamp_radiance=lamp_radiance, size=size,
     )
+
+
+def make_building_scene(
+    atlas_res: int = 128,
+    lamp_radiance: float = 20.0,
+    rooms: Tuple[int, int] = (3, 3),
+    room_size: Tuple[float, float, float] = (5.0, 3.0, 5.0),
+    seed: int = 666,
+    subdiv: int = 8,
+    clutter_per_room: int = 2,
+) -> SyntheticScene:
+    """Scan-scale multi-room building: rooms[0]×rooms[1] grid of rooms
+    separated by interior walls with doorways, plus clutter boxes — the
+    triangle count and occlusion structure of the reference's real scan
+    meshes (reference models/tracer_o3d_irt.py bakes against hundreds of
+    thousands of triangles).  subdiv=26 with 3×3 rooms ≈ 115k triangles.
+
+    Atlas charts (4×2 grid): 0-5 outer shell walls, 6 interior walls,
+    7 clutter.  One ceiling lamp per room."""
+    rng = np.random.default_rng(seed)
+    rx, rz = rooms
+    sx = room_size[0] * rx
+    sy = room_size[1]
+    sz = room_size[2] * rz
+    lo = np.zeros(3, np.float32)
+    hi = np.asarray([sx, sy, sz], np.float32)
+
+    walls = [
+        [[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]], [lo[0], lo[1], hi[2]]],
+        [[lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]], [hi[0], hi[1], lo[2]]],
+        [[lo[0], lo[1], lo[2]], [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]], [hi[0], lo[1], lo[2]]],
+        [[lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]], [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]],
+        [[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]], [lo[0], hi[1], hi[2]], [lo[0], hi[1], lo[2]]],
+        [[hi[0], lo[1], lo[2]], [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]], [hi[0], lo[1], hi[2]]],
+    ]
+    vertices, faces, uvs, uv_faces = [], [], [], []
+
+    def add(corners, chart, sub):
+        _lattice_quad(vertices, faces, uvs, uv_faces,
+                      np.asarray(corners, np.float32), _cell_uv(chart, grid=4),
+                      max(sub, 1))
+
+    for k, c in enumerate(walls):
+        # floor/ceiling span the whole footprint: scale their tessellation up
+        sub = subdiv * max(rx, rz) if k < 2 else subdiv * (rx if k < 4 else rz)
+        add(c, k, sub)
+    n_outer_faces = len(faces)
+
+    # interior walls along x (between room columns) and z (between rows),
+    # each wall segment per room with a doorway gap
+    door_w, door_h = 0.9, 2.2
+    for i in range(1, rx):
+        x = i * room_size[0]
+        for j in range(rz):
+            z0, z1 = j * room_size[2], (j + 1) * room_size[2]
+            zd = z0 + 0.5 * (room_size[2] - door_w) * rng.uniform(0.4, 1.2)
+            zd = min(max(zd, z0 + 0.2), z1 - door_w - 0.2)
+            # three panels: left of door, right of door, header
+            add([[x, 0, z0], [x, sy, z0], [x, sy, zd], [x, 0, zd]], 6, subdiv // 2)
+            add([[x, 0, zd + door_w], [x, sy, zd + door_w], [x, sy, z1], [x, 0, z1]],
+                6, subdiv // 2)
+            add([[x, door_h, zd], [x, sy, zd], [x, sy, zd + door_w],
+                 [x, door_h, zd + door_w]], 6, subdiv // 4)
+    for j in range(1, rz):
+        z = j * room_size[2]
+        for i in range(rx):
+            x0, x1 = i * room_size[0], (i + 1) * room_size[0]
+            xd = x0 + 0.5 * (room_size[0] - door_w) * rng.uniform(0.4, 1.2)
+            xd = min(max(xd, x0 + 0.2), x1 - door_w - 0.2)
+            add([[x0, 0, z], [x0, sy, z], [xd, sy, z], [xd, 0, z]], 6, subdiv // 2)
+            add([[xd + door_w, 0, z], [xd + door_w, sy, z], [x1, sy, z], [x1, 0, z]],
+                6, subdiv // 2)
+            add([[xd, door_h, z], [xd, sy, z], [xd + door_w, sy, z],
+                 [xd + door_w, door_h, z]], 6, subdiv // 4)
+
+    # clutter boxes per room
+    for i in range(rx):
+        for j in range(rz):
+            for _ in range(clutter_per_room):
+                cx = (i + rng.uniform(0.15, 0.6)) * room_size[0]
+                cz = (j + rng.uniform(0.15, 0.6)) * room_size[2]
+                w = 0.4 + 0.5 * rng.random()
+                h = 0.4 + 0.7 * rng.random()
+                dpt = 0.4 + 0.5 * rng.random()
+                x0, x1 = cx, min(cx + w, (i + 1) * room_size[0] - 0.1)
+                z0, z1 = cz, min(cz + dpt, (j + 1) * room_size[2] - 0.1)
+                quads = [
+                    [[x0, 0, z0], [x1, 0, z0], [x1, h, z0], [x0, h, z0]],
+                    [[x0, 0, z1], [x0, h, z1], [x1, h, z1], [x1, 0, z1]],
+                    [[x0, 0, z0], [x0, h, z0], [x0, h, z1], [x0, 0, z1]],
+                    [[x1, 0, z0], [x1, 0, z1], [x1, h, z1], [x1, h, z0]],
+                    [[x0, h, z0], [x1, h, z0], [x1, h, z1], [x0, h, z1]],
+                ]
+                for q in quads:
+                    add(q, 7, subdiv // 4)
+
+    mesh = Mesh(
+        vertices=np.asarray(vertices, np.float32),
+        faces=np.asarray(faces, np.int32),
+        uvs=np.asarray(uvs, np.float32),
+        uv_faces=np.asarray(uv_faces, np.int32),
+    )
+    shell = np.zeros(mesh.num_faces, bool)
+    shell[:n_outer_faces] = True
+    tri = mesh.triangle_corners()
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    to_c = (lo + hi)[None, :] / 2 - tri.mean(axis=1)
+    flip = ((n * to_c).sum(-1) < 0) & shell
+    mesh.faces[flip] = mesh.faces[flip][:, [0, 2, 1]]
+    mesh.uv_faces[flip] = mesh.uv_faces[flip][:, [0, 2, 1]]
+    mesh.compute_vertex_normals()
+
+    wall_colors = np.array(
+        [[0.60, 0.55, 0.50], [0.85, 0.85, 0.85], [0.70, 0.30, 0.30],
+         [0.30, 0.70, 0.35], [0.75, 0.75, 0.45], [0.45, 0.55, 0.80],
+         [0.80, 0.72, 0.60], [0.50, 0.35, 0.25]], np.float32)
+    wall_rough = np.array([0.5, 0.7, 0.35, 0.6, 0.25, 0.45, 0.55, 0.3], np.float32)
+
+    r = atlas_res
+    hdr = np.zeros((r, r, 3), np.float32)
+    gt_albedo = np.zeros((r, r, 3), np.float32)
+    gt_rough = np.full((r, r, 1), 0.5, np.float32)
+    seg = np.zeros((r, r), np.int32)
+    for k in range(8):
+        rows, cols = _chart_slice(k, r, grid=4)
+        noise = 1.0 + 0.1 * rng.standard_normal(
+            (rows.stop - rows.start, cols.stop - cols.start, 1))
+        hdr[rows, cols] = wall_colors[k] * 0.3 * noise
+        gt_albedo[rows, cols] = wall_colors[k]
+        gt_rough[rows, cols] = wall_rough[k]
+        seg[rows, cols] = k
+    # one lamp per room on the ceiling chart: u spans x, v spans z
+    rows, cols = _chart_slice(1, r, grid=4)
+    for i in range(rx):
+        for j in range(rz):
+            w0 = int(cols.start + (i + 0.5) / rx * (cols.stop - cols.start))
+            h0 = int(rows.start + (j + 0.5) / rz * (rows.stop - rows.start))
+            hdr[h0 - r // 64 : h0 + r // 64, w0 - r // 64 : w0 + r // 64] = (
+                lamp_radiance
+            )
+
+    return SyntheticScene(
+        mesh=mesh, hdr_texture=hdr, gt_albedo=gt_albedo, gt_roughness=gt_rough,
+        seg_texture=seg, lamp_radiance=lamp_radiance, size=(sx, sy, sz),
+    )

@@ -99,6 +99,7 @@ class MaterialModel:
         hdr_exposure: float = 0.0,
         max_mip_level: Optional[int] = None,
         leaf_width: int = 4,
+        spmd_mesh=None,
     ):
         """Args mirror the reference config knobs:
 
@@ -106,6 +107,13 @@ class MaterialModel:
         sample_light: (diffuse spp, specular spp) — diffuse unused with IrT
         hdr_exposure: train.hdr_exposure (scales the TBL atlas)
         max_mip_level: defaults to get_mip_level(8192)=13 (reference :65)
+        spmd_mesh: optional jax.sharding.Mesh with a RAY_AXIS axis — the
+            forward pass then runs SPMD over the pixel axis: primary rays,
+            texture sampling, and specular shading are shard_map-ped with
+            replicated parameters, so the backward pass produces per-device
+            partial atlas gradients that XLA psums over ICI (the data-parallel
+            contract of SURVEY §2.2).  Results are bit-identical to the
+            unsharded forward (per-pixel RNG is keyed by global pixel id).
         """
         self.cube_res = int(pano_res[1] // 4)
         self.sample_light = tuple(sample_light)
@@ -128,6 +136,11 @@ class MaterialModel:
         )
         self.fan_scene = FanScene.from_flat(flat)
         self.irt = jnp.asarray(irt_texture)
+        # the IrT atlas is constant during Mat training: build its mip
+        # pyramid once here instead of inside every jitted step (the albedo
+        # and roughness pyramids must stay in-step — they are differentiable
+        # functions of the parameters)
+        self.irt_pyramid = build_mip_pyramid(self.irt, None)
 
         # On TPU, primary visibility and specular rays run on the Pallas
         # leaf-stream kernels (see ops/pallas_fan.py and PERF.md); the XLA
@@ -135,6 +148,7 @@ class MaterialModel:
         import jax as _jax
 
         self.use_pallas = _jax.default_backend() != "cpu"
+        self.spmd_mesh = spmd_mesh
 
         self._jitted = {}
 
@@ -172,7 +186,7 @@ class MaterialModel:
         """The reference's four dr.texture calls (:128-139)."""
         alb_pyr = build_mip_pyramid(params.albedo, self.max_mip_level)
         rgh_pyr = build_mip_pyramid(params.roughness, self.max_mip_level)
-        irt_pyr = build_mip_pyramid(self.irt, self.max_mip_level)
+        irt_pyr = self.irt_pyramid
 
         lod_a = compute_lod(uv_img, params.albedo.shape[0], params.albedo.shape[1])
         lod_r = compute_lod(uv_img, params.roughness.shape[0], params.roughness.shape[1])
@@ -184,6 +198,131 @@ class MaterialModel:
         irr = texture_sample(irt_pyr, uv_img, lod_i)
         return albedo, roughness, roughness_womip, irr
 
+    def _gbuffer(self, mvp: jnp.ndarray, cam_position: jnp.ndarray) -> GBuffer:
+        """Primary visibility; the raycast is shard_map-ped over pixels when
+        an SPMD mesh is configured."""
+        if self.spmd_mesh is None:
+            return render_gbuffer(
+                self.device_mesh, self.tbl.bvh, mvp, cam_position,
+                self.cube_res,
+                fan_scene=self.fan_scene if self.use_pallas else None,
+            )
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from texir_code_tpu.ops.gbuffer import (
+            interpolate_attributes,
+            ray_dirs_from_mvp,
+        )
+        from texir_code_tpu.ops.raycast import RayHit, cast_rays_soa
+        from texir_code_tpu.parallel.mesh import RAY_AXIS
+
+        res = self.cube_res
+        nfaces = mvp.shape[0]
+        dirs = ray_dirs_from_mvp(mvp, cam_position, res)
+        flat = tuple(dirs[..., k].reshape(-1) for k in range(3))
+
+        def device_fn(dx, dy, dz, cam):
+            d = (dx, dy, dz)
+            n = dx.shape[0]
+            if self.use_pallas and n % 128 == 0:
+                from texir_code_tpu.ops.pallas_fan import cast_ray_fans_pallas
+
+                r_split = min(2048, n)
+                while n % r_split:
+                    r_split -= 128
+                rows = n // r_split
+                h = cast_ray_fans_pallas(
+                    self.fan_scene,
+                    tuple(jnp.broadcast_to(cam[k], (rows,)) for k in range(3)),
+                    tuple(a.reshape(rows, r_split) for a in d),
+                    t_min=1e-6,
+                )
+                return (
+                    h.t.reshape(-1), h.prim.reshape(-1),
+                    h.u.reshape(-1), h.v.reshape(-1),
+                )
+            origins = tuple(jnp.broadcast_to(cam[k], (n,)) for k in range(3))
+            h = cast_rays_soa(self.tbl.bvh, origins, d, t_min=1e-6)
+            return h.t, h.prim, h.u, h.v
+
+        t, prim, u, v = shard_map(
+            device_fn,
+            mesh=self.spmd_mesh,
+            in_specs=(P(RAY_AXIS),) * 3 + (P(),),
+            out_specs=(P(RAY_AXIS),) * 4,
+            check_rep=False,
+        )(flat[0], flat[1], flat[2], cam_position)
+        hit = RayHit(t=t, prim=prim, u=u, v=v)
+
+        valid = hit.prim >= 0
+        position, normal, uv = interpolate_attributes(self.device_mesh, hit)
+        bg = jnp.array([1.0, 0.0, 0.0], position.dtype)
+        position = jnp.where(valid[:, None], position, bg)
+        normal = jnp.where(valid[:, None], normal, bg)
+        uv = jnp.where(valid[:, None], uv, 0.0)
+        shp = (nfaces, res, res)
+        return GBuffer(
+            position=position.reshape(shp + (3,)),
+            normal=normal.reshape(shp + (3,)),
+            uv=uv.reshape(shp + (2,)),
+            prim=jnp.where(valid, hit.prim, -1).reshape(shp),
+            mask=valid.astype(jnp.float32).reshape(shp + (1,)),
+            t=hit.t.reshape(shp),
+        )
+
+    def _shade_flat(
+        self,
+        params: MaterialParams,
+        uv: jnp.ndarray,          # [B, 2]
+        lod_a: jnp.ndarray,       # [B]
+        lod_r: jnp.ndarray,
+        lod_i: jnp.ndarray,
+        normal: jnp.ndarray,      # [B, 3]
+        position: jnp.ndarray,    # [B, 3]
+        spec_shift: jnp.ndarray,  # [B, 2] per-pixel toroidal sample shifts
+        cam_position: jnp.ndarray,
+        stage: int,
+    ):
+        """All differentiable per-pixel work on flat arrays: the four
+        texture fetches (reference :128-139) + the stage's shading.  This is
+        the shard_map body of the SPMD step — everything that produces
+        parameter gradients lives here, so sharding the pixel axis shards
+        the backward pass and the per-device partial atlas gradients get
+        psum'd by the shard_map transpose."""
+        alb_pyr = build_mip_pyramid(params.albedo, self.max_mip_level)
+        rgh_pyr = build_mip_pyramid(params.roughness, self.max_mip_level)
+        albedo = texture_sample(alb_pyr, uv, lod_a)
+        roughness = texture_sample(rgh_pyr, uv, lod_r)
+        roughness_womip = bilinear_sample(params.roughness, uv)
+        irr = texture_sample(self.irt_pyramid, uv, lod_i)
+
+        if stage == -1:
+            rgb = self._render_flat(
+                normal, jnp.zeros_like(albedo), jnp.full_like(roughness, 0.01),
+                position + 1e-2 * normal, cam_position, irr, spec_shift,
+                tbl=self.tbl_vhl,
+            )
+            albedo_out = jnp.zeros_like(albedo)
+        elif stage == 0:
+            rgb = shading.lambertian_diffuse(irr, albedo)
+            albedo_out = albedo
+        elif stage == 1:
+            albedo_out = jax.lax.stop_gradient(albedo)
+            rgb = self._render_flat(
+                normal, albedo_out, roughness_womip,
+                position + 1e-2 * normal, cam_position, irr, spec_shift,
+            )
+        elif stage == 2:
+            rgb = self._render_flat(
+                normal, albedo, roughness, position + 1e-2 * normal,
+                cam_position, irr, spec_shift,
+            )
+            albedo_out = albedo
+        else:
+            raise ValueError(f"unknown stage: {stage}")
+        return rgb, albedo_out, roughness, roughness_womip
+
     def _forward(
         self,
         params: MaterialParams,
@@ -192,10 +331,7 @@ class MaterialModel:
         key: jax.Array,
         stage: int,
     ) -> Dict[str, jnp.ndarray]:
-        g = render_gbuffer(
-            self.device_mesh, self.tbl.bvh, mvp, cam_position, self.cube_res,
-            fan_scene=self.fan_scene if self.use_pallas else None,
-        )
+        g = self._gbuffer(mvp, cam_position)
         # G-buffers are non-differentiable by construction here (ray cast),
         # matching the reference's detach discipline.
         normal = jax.lax.stop_gradient(g.normal)
@@ -203,78 +339,87 @@ class MaterialModel:
         uv_img = jax.lax.stop_gradient(g.uv)
         mask = g.mask
 
-        albedo, roughness, roughness_womip, irr = self._sample_materials(
-            params, uv_img
+        f, h, w, _ = normal.shape
+        b = f * h * w
+        # mip LODs need the image neighborhood -> computed on full images
+        lod_a = compute_lod(uv_img, params.albedo.shape[0], params.albedo.shape[1])
+        lod_r = compute_lod(
+            uv_img, params.roughness.shape[0], params.roughness.shape[1]
         )
+        lod_i = compute_lod(uv_img, self.irt.shape[0], self.irt.shape[1])
 
-        if stage == -1:
-            res = self._render(
-                normal,
-                jnp.zeros_like(albedo),
-                jnp.full_like(roughness, 0.01),
-                position + 1e-2 * normal,
-                cam_position,
-                irr,
-                key,
-                tbl=self.tbl_vhl,
-            )
-        elif stage == 0:
-            res = {
-                "rgb": shading.lambertian_diffuse(irr, albedo),
-                "albedo": albedo,
-                "normal": normal,
-                "position": position + 1e-1 * normal,
-            }
-        elif stage == 1:
-            res = self._render(
-                normal,
-                jax.lax.stop_gradient(albedo),
-                roughness_womip,
-                position + 1e-2 * normal,
-                cam_position,
-                irr,
-                key,
-            )
-        elif stage == 2:
-            res = self._render(
-                normal, albedo, roughness, position + 1e-2 * normal,
-                cam_position, irr, key,
+        # per-pixel toroidal sample shift keyed by GLOBAL pixel id — the
+        # specular MC draw is identical however the pixel axis is sharded
+        row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(b, dtype=jnp.int32)
+        )
+        spec_shift = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(row_keys)
+
+        args = (
+            params,
+            uv_img.reshape(b, 2),
+            lod_a.reshape(b), lod_r.reshape(b), lod_i.reshape(b),
+            normal.reshape(b, 3), position.reshape(b, 3),
+            spec_shift, cam_position,
+        )
+        if self.spmd_mesh is None:
+            rgb, albedo, roughness, roughness_womip = self._shade_flat(
+                *args, stage=stage
             )
         else:
-            raise ValueError(f"unknown stage: {stage}")
+            from functools import partial as _partial
 
-        res.update(
-            {
-                "empty_mask": mask,
-                "roughness_womipmap": roughness_womip,
-                "roughness": roughness,
-            }
-        )
-        return res
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
 
-    def _render(
+            from texir_code_tpu.parallel.mesh import RAY_AXIS
+
+            sharded = P(RAY_AXIS)
+            rgb, albedo, roughness, roughness_womip = shard_map(
+                _partial(self._shade_flat, stage=stage),
+                mesh=self.spmd_mesh,
+                in_specs=(P(),) + (sharded,) * 7 + (P(),),
+                out_specs=(sharded,) * 4,
+                check_rep=False,
+            )(*args)
+
+        if stage == 0:
+            position_out = position + 1e-1 * normal
+        else:
+            # reference offsets: +1e-2·n at render input, +2e-2·n on output
+            position_out = jax.lax.stop_gradient(position + 3e-2 * normal)
+
+        return {
+            "rgb": rgb.reshape(f, h, w, 3),
+            "albedo": albedo.reshape(f, h, w, 3),
+            "normal": normal,
+            "position": position_out,
+            "empty_mask": mask,
+            "roughness_womipmap": roughness_womip.reshape(f, h, w, 1),
+            "roughness": roughness.reshape(f, h, w, 1),
+        }
+
+    def _render_flat(
         self,
-        normal: jnp.ndarray,
-        albedo: jnp.ndarray,
-        roughness: jnp.ndarray,
-        points: jnp.ndarray,
+        normal: jnp.ndarray,      # [B, 3]
+        albedo: jnp.ndarray,      # [B, 3]
+        roughness: jnp.ndarray,   # [B, 1]
+        points: jnp.ndarray,      # [B, 3]
         cam_position: jnp.ndarray,
-        irr: jnp.ndarray,
-        key: jax.Array,
+        irr: jnp.ndarray,         # [B, 3]
+        spec_shift: jnp.ndarray,  # [B, 2]
         tbl: Optional[TBL] = None,
-    ) -> Dict[str, jnp.ndarray]:
-        """Physically based shading of flattened G-buffers
-        (reference models/mat_nvdiffrast.py:201-249)."""
+    ) -> jnp.ndarray:
+        """Physically based shading on flat per-pixel arrays
+        (reference models/mat_nvdiffrast.py:201-249): diffuse from IrT,
+        specular by GGX-importance MC against the TBL.  Returns rgb [B, 3]."""
         tbl = tbl if tbl is not None else self.tbl
-        face, h, w, _ = normal.shape
-        b = face * h * w
+        b = normal.shape[0]
         # SoA hot path: component [B] / [B, S] arrays (see ops.raycast for
         # the TPU layout rationale)
-        n = tuple(normal[..., k].reshape(b) for k in range(3))
-        pts = tuple(points[..., k].reshape(b) for k in range(3))
+        n = tuple(normal[:, k] for k in range(3))
+        pts = tuple(points[:, k] for k in range(3))
         rgh = roughness.reshape(b)
-        alb = albedo.reshape(b, 3)
-        ir = irr.reshape(b, 3)
 
         view = tuple(cam_position[k] - pts[k] for k in range(3))
         vnorm = jnp.maximum(
@@ -282,11 +427,21 @@ class MaterialModel:
         )
         view = tuple(view[k] / vnorm for k in range(3))
 
-        diffuse = shading.lambertian_diffuse(ir, alb)
+        diffuse = shading.lambertian_diffuse(irr, albedo)
 
         s_spec = self.sample_light[1]
+        from texir_code_tpu.ops.sampling import (
+            TINY_NUMBER,
+            hammersley,
+        )
+
+        samples = jnp.clip(
+            jnp.mod(hammersley(s_spec)[None] + spec_shift[:, None, :], 1.0),
+            TINY_NUMBER, 1.0 - TINY_NUMBER,
+        )
         half = generate_dir_soa(
-            n, s_spec, key, mode=self.sample_type[1], roughness=rgh
+            n, s_spec, jax.random.PRNGKey(0), mode=self.sample_type[1],
+            roughness=rgh, samples=samples,
         )
         light_dirs, _ = reflect_soa(view, half)
         spec_origins = tuple(
@@ -306,12 +461,4 @@ class MaterialModel:
             lighting, half, n, view, light_dirs, rgh
         )
         specular = jnp.stack(spec, axis=-1) / s_spec
-
-        return {
-            "rgb": (diffuse + specular).reshape(face, h, w, 3),
-            "albedo": alb.reshape(face, h, w, 3),
-            "normal": normal,
-            "position": jax.lax.stop_gradient(
-                points + 2e-2 * normal
-            ),
-        }
+        return diffuse + specular

@@ -177,6 +177,9 @@ class IrradianceTextureBaker:
         surface_eps: float = 1e-2,
         fan_scene=None,
         max_leaves: int = 768,
+        cluster_scene=None,
+        wedges: int = 4,
+        pallas_interpret: bool = False,
     ):
         """Args:
             tbl: lighting scene.
@@ -188,6 +191,13 @@ class IrradianceTextureBaker:
             fan_scene: optional ops.fan_raycast.FanScene enabling the
                 shared-origin fan fast path (one fan per texel).
             max_leaves: fan-path per-texel leaf budget.
+            cluster_scene: optional ops.pallas_culled.ClusterScene enabling
+                the culled, early-exiting kernel (preferred on scan-scale
+                meshes; exact).  Takes precedence over fan_scene on TPU.
+            wedges: direction wedges per texel for the culled path
+                (spp/wedges must be a multiple of 128).
+            pallas_interpret: run Pallas kernels in interpreter mode (CPU
+                tests of the TPU code path).
         """
         self.tbl = tbl
         self.spp = spp
@@ -195,6 +205,14 @@ class IrradianceTextureBaker:
         self.surface_eps = surface_eps
         self.fan_scene = fan_scene
         self.max_leaves = max_leaves
+        self.cluster_scene = cluster_scene
+        self.wedges = wedges
+        self.pallas_interpret = pallas_interpret
+        # 'octant': runtime octant sort (world-sign-pure chunks — the
+        # culling boxes are world-axis-aligned, so this beats the zero-cost
+        # azimuth-sorted-table variant, measured); 'azimuth': u2-sorted table.
+        self.chunk_mode = "octant"
+        self.fan_block = 32
         # RGBE-packed atlas for the uv-emitting kernel path (same precision
         # class as the .hdr files the atlas is loaded from)
         from texir_code_tpu.models.tbl import rgbe_pack
@@ -205,6 +223,61 @@ class IrradianceTextureBaker:
             fan_scene is not None
             and fan_scene.rows.shape[1] >= FAN_ROW_WIDTH_UV
         )
+
+    def _use_device_kernels(self) -> bool:
+        import jax as _jax
+
+        return self.pallas_interpret or _jax.default_backend() != "cpu"
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _bake_batch_culled(self, points, normals, texel_ids, seed):
+        return self._bake_culled_impl(points, normals, texel_ids, seed)
+
+    def _bake_culled_impl(self, points, normals, texel_ids, seed):
+        """Culled wedge path — fully traceable (shard_map-safe), exact.
+
+        One texel = one fan; its spp directions are octant-sorted and split
+        into `wedges` rows; hits come from the early-exiting cluster kernel
+        (ops.pallas_culled); radiance is one RGBE bilinear fetch per ray
+        when the cluster rows carry uv coefficients."""
+        from texir_code_tpu.ops.pallas_culled import (
+            cast_fans_culled,
+            sort_dirs_octant,
+            tile_rows,
+            wedge_rows,
+        )
+
+        nrm = tuple(normals[:, k] for k in range(3))
+        g = self.wedges
+        if self.chunk_mode == "azimuth":
+            from texir_code_tpu.ops.sampling import hammersley_azimuth_sorted
+
+            ds = self._fan_dirs(
+                nrm, texel_ids, seed, base=hammersley_azimuth_sorted(self.spp)
+            )
+        else:
+            dirs = self._fan_dirs(nrm, texel_ids, seed)
+            ds = sort_dirs_octant(dirs)
+        rows_d = tuple(wedge_rows(a, g) for a in ds)
+        origins = tuple(
+            points[:, k] + self.surface_eps * normals[:, k] for k in range(3)
+        )
+        rows_o = tuple(tile_rows(a, g) for a in origins)
+        hit = cast_fans_culled(
+            self.cluster_scene, rows_o, rows_d,
+            emit_uv=self.cluster_scene.has_uv,
+            interpret=self.pallas_interpret,
+            fan_block=self.fan_block,
+        )
+        rows_n = tuple(tile_rows(a, g) for a in nrm)
+        if self.cluster_scene.has_uv:
+            part = self._fan_estimate_uv(hit.t, hit.u, hit.v, rows_d, rows_n)
+        else:
+            part = self._fan_estimate(
+                hit.t, hit.prim, hit.u, hit.v, rows_d, rows_n
+            )
+        t = points.shape[0]
+        return part.reshape(g, t, 3).sum(axis=0)
 
     @partial(jax.jit, static_argnames=("self",))
     def _bake_batch_traversal(self, points, normals, texel_ids, seed):
@@ -219,13 +292,13 @@ class IrradianceTextureBaker:
         )
 
     @partial(jax.jit, static_argnames=("self",))
-    def _fan_dirs(self, normals_soa, texel_ids, seed):
+    def _fan_dirs(self, normals_soa, texel_ids, seed, base=None):
         row_keys = jax.vmap(
             lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
         )(texel_ids)
         return generate_dir_soa(
             normals_soa, self.spp, jax.random.PRNGKey(seed), mode="uniform",
-            row_keys=row_keys,
+            row_keys=row_keys, base=base,
         )
 
     @partial(jax.jit, static_argnames=("self",))
@@ -275,7 +348,10 @@ class IrradianceTextureBaker:
         AoS form would materialize pad 3 → 128 lanes on TPU.
 
         When a fan scene is configured, each texel becomes one shared-origin
-        ray fan (tangent-plane culled, exact via overflow fallback)."""
+        ray fan (tangent-plane culled, exact via overflow fallback); with a
+        cluster scene the culled early-exit kernel runs instead."""
+        if self.cluster_scene is not None and self._use_device_kernels():
+            return self._bake_batch_culled(points, normals, texel_ids, seed)
         if self.fan_scene is None:
             return self._bake_batch_traversal(points, normals, texel_ids, seed)
 
@@ -289,7 +365,7 @@ class IrradianceTextureBaker:
             points[:, k] + self.surface_eps * normals[:, k] for k in range(3)
         )
         exhaustive = self.max_leaves >= self.fan_scene.num_leaves
-        if exhaustive and _jax.default_backend() != "cpu":
+        if exhaustive and self._use_device_kernels():
             # exhaustive leaf stream on the Pallas kernel (zero gathers,
             # VMEM-resident state) — ~4× the XLA stream on v5e; with uv rows
             # the kernel also interpolates the atlas uv, leaving a single
@@ -299,6 +375,7 @@ class IrradianceTextureBaker:
             hit = cast_ray_fans_pallas(
                 self.fan_scene, origins, dirs, t_min=0.0,
                 fan_block=8, leaf_block=32, emit_uv=self._fan_has_uv,
+                interpret=self.pallas_interpret,
             )
             if self._fan_has_uv:
                 return self._fan_estimate_uv(hit.t, hit.u, hit.v, dirs, nrm)

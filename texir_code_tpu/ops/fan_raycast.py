@@ -122,10 +122,15 @@ class FanScene:
                 rows[:, ub + 5] = t2[:, 1] - t0[:, 1]
         lo = bvh.aabb_min.min(axis=0)
         hi = bvh.aabb_max.max(axis=0)
-        return cls(
+        scene = cls(
             rows=jnp.asarray(rows),
             diameter=jnp.float32(float(np.linalg.norm(hi - lo))),
         )
+        # host copy for downstream host-side packing (ClusterScene) — avoids
+        # a device->host readback, which crawls over the axon tunnel
+        scene.rows_np = rows
+        scene.diameter_np = float(np.linalg.norm(hi - lo))
+        return scene
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "return_overflow"))

@@ -61,6 +61,21 @@ def hammersley(n: int) -> jnp.ndarray:
     return jnp.asarray(hammersley_np(n))
 
 
+def hammersley_azimuth_sorted(n: int) -> jnp.ndarray:
+    """The Hammersley set reordered by u2 (the azimuth coordinate).
+
+    Same sample SET as `hammersley` — order-invariant estimators are
+    unaffected — but consecutive chunks of the reordered sequence map to
+    contiguous azimuth arcs of the hemisphere.  A per-row toroidal shift
+    rotates every arc by the same amount, so chunks stay contiguous arcs of
+    exactly equal sample count: this is what gives the culled wedge tracer
+    (ops.pallas_culled) tight per-chunk direction cones with zero runtime
+    sorting."""
+    h = hammersley_np(n)
+    order = np.argsort(h[:, 1], kind="stable")
+    return jnp.asarray(h[order])
+
+
 def normalize(x: jnp.ndarray, eps: float = TINY_NUMBER) -> jnp.ndarray:
     """x / (||x|| + eps) along the last axis (reference's norm_axis)."""
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
@@ -115,6 +130,7 @@ def stratified_samples(
     num_samples: int,
     pre_mode: str = "hammersley",
     row_keys: Optional[jax.Array] = None,
+    base: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """[batch, num_samples, 2] 2D sample points in (0, 1).
 
@@ -129,7 +145,9 @@ def stratified_samples(
     texel/pixel id into the key, then split the batch freely).
     """
     if pre_mode.lower() == "hammersley":
-        base = hammersley(num_samples)[None, :, :]  # [1, S, 2]
+        if base is None:
+            base = hammersley(num_samples)
+        base = base[None, :, :]  # [1, S, 2]
         if row_keys is not None:
             shift = jax.vmap(lambda k: jax.random.uniform(k, (1, 2)))(row_keys)
         else:
@@ -156,6 +174,7 @@ def generate_dir_soa(
     pre_mode: str = "hammersley",
     samples: Optional[jnp.ndarray] = None,
     row_keys: Optional[jax.Array] = None,
+    base: Optional[jnp.ndarray] = None,
 ) -> Vec3s:
     """Sample hemisphere directions, SoA: normals are 3×[B], output 3×[B, S].
 
@@ -180,7 +199,7 @@ def generate_dir_soa(
     b = normals[0].shape[0]
     n, u, v = build_onb_soa(normals)
     if samples is None:
-        samples = stratified_samples(key, b, num_samples, pre_mode, row_keys)
+        samples = stratified_samples(key, b, num_samples, pre_mode, row_keys, base)
     u1 = samples[..., 0]  # [B, S]
     u2 = samples[..., 1]
 

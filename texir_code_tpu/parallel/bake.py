@@ -2,9 +2,15 @@
 
 The bake is embarrassingly parallel over texels (2.1 G independent rays at
 reference scale) — each chip takes an equal slice of every batch via
-shard_map with no collectives; the host assembles the texture.  The BVH and
-atlas are replicated (a scan mesh's BVH + HDR atlas is tens of MB — far
-under per-chip HBM).
+shard_map with no collectives; the host assembles the texture.  The BVH,
+cluster rows, and atlas are replicated (a scan mesh's BVH + HDR atlas is
+tens of MB — far under per-chip HBM).
+
+The per-device compute is the SAME fast path as the single-chip baker: the
+culled Pallas wedge kernel when a ClusterScene is configured
+(ops.pallas_culled), else the XLA skip-link traversal.  Per-texel RNG is
+derived by fold_in of the *global* texel index, so results are bit-identical
+for any device count.
 """
 
 from __future__ import annotations
@@ -20,19 +26,16 @@ from jax.sharding import Mesh, PartitionSpec
 from jax.experimental.shard_map import shard_map
 
 from texir_code_tpu.models.tbl import TBL
-from texir_code_tpu.models.tracer_irt import GeometryTextures, IrradianceTextureBaker
-
-
+from texir_code_tpu.models.tracer_irt import (
+    GeometryTextures,
+    IrradianceTextureBaker,
+    bake_irradiance_soa,
+)
 from texir_code_tpu.parallel.mesh import RAY_AXIS, make_device_mesh
 
 
 class ShardedIrradianceBaker(IrradianceTextureBaker):
-    """IrT baker whose per-batch compute is shard_map-ped over texels.
-
-    Per-texel RNG is derived by fold_in of the *global* texel index, so the
-    result is bit-identical for any device count (determinism across
-    shardings).
-    """
+    """IrT baker whose per-batch compute is shard_map-ped over texels."""
 
     def __init__(
         self,
@@ -41,24 +44,35 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
         texel_batch: int = 8192,
         surface_eps: float = 1e-2,
         mesh: Optional[Mesh] = None,
+        cluster_scene=None,
+        wedges: int = 8,
+        pallas_interpret: bool = False,
     ):
-        super().__init__(tbl, spp=spp, texel_batch=texel_batch, surface_eps=surface_eps)
+        super().__init__(
+            tbl, spp=spp, texel_batch=texel_batch, surface_eps=surface_eps,
+            cluster_scene=cluster_scene, wedges=wedges,
+            pallas_interpret=pallas_interpret,
+        )
         self.mesh = mesh if mesh is not None else make_device_mesh()
         n = self.mesh.devices.size
         if texel_batch % n:
             raise ValueError(f"texel_batch {texel_batch} not divisible by {n} devices")
-        self._sharded = self._build(n)
+        self._sharded = self._build()
 
-    def _build(self, n_devices: int):
+    def _build(self):
         spp = self.spp
         eps = self.surface_eps
         tbl = self.tbl
 
-        from texir_code_tpu.models.tracer_irt import bake_irradiance_soa
+        use_culled = (
+            self.cluster_scene is not None and self._use_device_kernels()
+        )
 
         def device_fn(points, normals, texel_ids, seed):
-            # per-texel keys from the GLOBAL texel id → bit-identical to the
-            # single-device bake for any device count
+            if use_culled:
+                # the Pallas culled wedge kernel — the same engine the
+                # single-chip baker and bench run
+                return self._bake_culled_impl(points, normals, texel_ids, seed)
             out = bake_irradiance_soa(
                 tbl,
                 tuple(points[:, k] for k in range(3)),
@@ -79,6 +93,10 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
             out_specs=PartitionSpec(RAY_AXIS),
         )
         return jax.jit(fn)
+
+    def bake_batch(self, points, normals, texel_ids, seed):
+        """Sharded override: one shard_map'ped batch (shapes [B, 3])."""
+        return self._sharded(points, normals, texel_ids, seed)
 
     def bake(
         self,
