@@ -50,58 +50,124 @@ def test_sharded_bake_batch_size_invariance(room_tbl):
     np.testing.assert_array_equal(a, b)
 
 
-def test_sharded_mat_train_step(room_tbl):
-    """Full Mat train step jitted over the 8-device mesh with pixel-sharded
-    rendering and replicated params; gradients must be finite and the step
-    must actually update parameters."""
-    import optax
+def test_sharded_culled_bake_matches_single_device(room_tbl):
+    """The FAST path (culled Pallas wedge kernel, interpret mode) under
+    shard_map must be bit-identical to the single-device culled bake —
+    this is the engine the bench runs, not the slow traversal."""
+    from texir_code_tpu.geometry.bvh import build_bvh
+    from texir_code_tpu.models.tbl import build_tbl_from_flat
+    from texir_code_tpu.ops.fan_raycast import FanScene
+    from texir_code_tpu.ops.pallas_culled import ClusterScene
 
-    from texir_code_tpu.models.losses import render_loss
-    from texir_code_tpu.models.material import (
-        MaterialModel,
-        clamp_material_params,
-        init_material_params,
-    )
+    scene, tbl = room_tbl
+    fb = build_bvh(scene.mesh.vertices, scene.mesh.faces)
+    fan = FanScene.from_flat(fb, triangle_uvs=scene.mesh.triangle_uvs())
+    cl = ClusterScene.from_fan(fan, lb=8)
+    geom = bake_geometry_textures(scene.mesh, 16)
+    key = jax.random.PRNGKey(3)
+    single = IrradianceTextureBaker(
+        tbl, spp=512, texel_batch=64, cluster_scene=cl, wedges=4,
+        pallas_interpret=True,
+    ).bake(geom, key)
+    sharded = ShardedIrradianceBaker(
+        tbl, spp=512, texel_batch=64, mesh=make_device_mesh(),
+        cluster_scene=cl, wedges=4, pallas_interpret=True,
+    ).bake(geom, key)
+    np.testing.assert_array_equal(single, sharded)
+
+
+def _mat_setup(scene, spmd_mesh=None):
+    from texir_code_tpu.models.material import MaterialModel, init_material_params
     from texir_code_tpu.ops.gbuffer import cube_mvp
 
-    scene, _ = room_tbl
     irt = np.full((16, 16, 3), 1.0, np.float32)
     model = MaterialModel(
-        scene.mesh, scene.hdr_texture, irt, pano_res=(32, 64), sample_light=(8, 4)
+        scene.mesh, scene.hdr_texture, irt, pano_res=(32, 64),
+        sample_light=(8, 4), spmd_mesh=spmd_mesh,
     )
-    mesh = make_device_mesh()
     params = init_material_params(16, 16)
     pos = jnp.asarray(scene.camera_positions(1)[0])
     ext = np.eye(4, dtype=np.float32)
     ext[0:3, 3] = np.asarray(pos)
     mvp = cube_mvp(jnp.asarray(ext))
+    return model, params, mvp, pos
+
+
+def _mat_loss_fn(model, mvp, pos, key):
+    from texir_code_tpu.models.losses import render_loss
+
+    res = model.cube_res
+    gt = jnp.ones((6, res, res, 3)) * 0.2
+    seg_id = jnp.zeros((6, res, res), jnp.int32)
+    ones = jnp.ones((6, res, res, 1))
+
+    def loss_fn(pp):
+        out = model._forward(pp, mvp, pos, key, stage=2)
+        total, _ = render_loss(gt, out, ones, seg_id, 6, 2, seg_region=ones)
+        return total
+
+    return loss_fn
+
+
+def test_sharded_mat_step_matches_single_device(room_tbl):
+    """The SPMD Mat step (shard_map over pixels, replicated params) must
+    reproduce the single-device loss AND gradients: the per-pixel RNG is
+    keyed by global pixel id, and the shard_map transpose psums the
+    per-device partial atlas gradients."""
+    scene, _ = room_tbl
+    mesh = make_device_mesh()
     key = jax.random.PRNGKey(0)
-    gt = jnp.ones((6, model.cube_res, model.cube_res, 3)) * 0.2
-    seg_id = jnp.zeros((6, model.cube_res, model.cube_res), jnp.int32)
-    ones = jnp.ones((6, model.cube_res, model.cube_res, 1))
 
-    opt = optax.adam(3e-2)
+    model_s, params, mvp, pos = _mat_setup(scene, spmd_mesh=mesh)
+    model_1, _, _, _ = _mat_setup(scene, spmd_mesh=None)
 
-    def train_step(p, opt_state):
-        def loss_fn(pp):
-            out = model._forward(pp, mvp, pos, key, stage=2)
-            total, _ = render_loss(
-                gt, out, ones, seg_id, 6, 2, seg_region=ones,
-            )
-            return total
+    g1 = jax.jit(jax.value_and_grad(_mat_loss_fn(model_1, mvp, pos, key)))
+    gs = jax.jit(jax.value_and_grad(_mat_loss_fn(model_s, mvp, pos, key)))
+    l1, grad1 = g1(params)
+    ls, grads = gs(params)
+    assert np.isfinite(float(ls))
+    np.testing.assert_allclose(float(l1), float(ls), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad1.albedo), np.asarray(grads.albedo), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(grad1.roughness), np.asarray(grads.roughness),
+        rtol=1e-4, atol=1e-7,
+    )
+    # nonzero gradient actually reaches the atlases
+    assert float(jnp.abs(grads.albedo).sum()) > 0
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, opt_state = opt.update(grads, opt_state)
-        p = optax.apply_updates(p, updates)
-        return clamp_material_params(p), opt_state, loss
 
-    rep = replicated(mesh)
-    params = jax.device_put(params, rep)
-    opt_state = jax.device_put(opt.init(params), rep)
-    step = jax.jit(train_step, in_shardings=(rep, rep), out_shardings=(rep, rep, rep))
-    p1, _, loss = step(params, opt_state)
-    assert np.isfinite(float(loss))
-    # params changed
-    assert float(jnp.abs(p1.albedo - params.albedo).sum()) > 0
-    # outputs replicated across all 8 devices
-    assert len(p1.albedo.sharding.device_set) == 8
+def test_sharded_mat_step_has_collectives_and_sharded_render(room_tbl):
+    """The compiled SPMD step must contain cross-device collectives (the
+    gradient psum) — a fully replicated computation would have none — and
+    the in-step rendered pixels must actually be laid out sharded."""
+    scene, _ = room_tbl
+    mesh = make_device_mesh()
+    key = jax.random.PRNGKey(0)
+    model_s, params, mvp, pos = _mat_setup(scene, spmd_mesh=mesh)
+
+    lowered = jax.jit(
+        jax.value_and_grad(_mat_loss_fn(model_s, mvp, pos, key))
+    ).lower(params)
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no cross-device all-reduce in compiled step"
+
+    # per-pixel intermediate sharding: capture the flat rgb shards
+    from jax.sharding import PartitionSpec as P
+
+    from texir_code_tpu.parallel.mesh import RAY_AXIS
+
+    @jax.jit
+    def fwd(p):
+        out = model_s._forward(p, mvp, pos, key, stage=2)
+        return jax.lax.with_sharding_constraint(
+            out["rgb"].reshape(-1, 3),
+            jax.sharding.NamedSharding(mesh, P(RAY_AXIS, None)),
+        )
+
+    rgb = fwd(params)
+    # sharded layout: each device holds 1/8 of the pixel rows
+    assert len(rgb.sharding.device_set) == 8
+    shard_rows = {s.index[0] for s in rgb.addressable_shards}
+    assert len(shard_rows) == 8, "rgb not actually partitioned over devices"

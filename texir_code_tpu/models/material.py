@@ -207,7 +207,7 @@ class MaterialModel:
                 self.cube_res,
                 fan_scene=self.fan_scene if self.use_pallas else None,
             )
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from texir_code_tpu.ops.gbuffer import (
@@ -251,7 +251,7 @@ class MaterialModel:
             mesh=self.spmd_mesh,
             in_specs=(P(RAY_AXIS),) * 3 + (P(),),
             out_specs=(P(RAY_AXIS),) * 4,
-            check_rep=False,
+            check_vma=False,
         )(flat[0], flat[1], flat[2], cam_position)
         hit = RayHit(t=t, prim=prim, u=u, v=v)
 
@@ -369,7 +369,7 @@ class MaterialModel:
         else:
             from functools import partial as _partial
 
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from texir_code_tpu.parallel.mesh import RAY_AXIS
@@ -380,7 +380,7 @@ class MaterialModel:
                 mesh=self.spmd_mesh,
                 in_specs=(P(),) + (sharded,) * 7 + (P(),),
                 out_specs=(sharded,) * 4,
-                check_rep=False,
+                check_vma=False,
             )(*args)
 
         if stage == 0:

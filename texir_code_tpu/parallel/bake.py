@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from texir_code_tpu.models.tbl import TBL
 from texir_code_tpu.models.tracer_irt import (
@@ -91,6 +91,7 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
                 PartitionSpec(),
             ),
             out_specs=PartitionSpec(RAY_AXIS),
+            check_vma=False,
         )
         return jax.jit(fn)
 
