@@ -1,27 +1,37 @@
-"""Benchmark: IrT bake ray throughput on one TPU chip.
+"""Benchmark: IrT bake ray throughput + Mat-stage training step on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line whose headline fields are the IrT bake metric
+{"metric", "value", "unit", "vs_baseline"}; additional driver-visible
+metrics ride in the same object:
 
-Workload: the reference pipeline's heaviest stage — Monte-Carlo irradiance
-baking at 2048 uniform hemisphere samples/texel (reference
+  * "mat_step": full-reference-shape Mat training step (6x128^2 px, 16
+    specular rays/px, albedo 2048^2 / roughness 4096^2, stage 2 forward +
+    RenderLoss + grad + Adam + clamp), in iters/s
+    (reference configs/mat_hdrhouse.conf:22,24; trainer/train_material.py).
+  * "big_scene": the same bake on a ~9x-larger multi-room building mesh
+    (~115k triangles) — evidence that the culled wedge tracer's cost tracks
+    VISIBLE geometry, not total geometry (throughput decays far slower than
+    1/leaves).
+
+Bake workload: the reference pipeline's heaviest stage — Monte-Carlo
+irradiance baking at 2048 uniform hemisphere samples/texel (reference
 models/tracer_o3d_irt.py:156-174, configs/hdrhouse_ir_texture.conf:24) — on
-a two-room synthetic apartment (24k+ triangles, doorway + clutter occlusion;
-see texir_code_tpu/data/synthetic.py) using the shared-origin fan tracer
-with exact overflow fallback.
+a two-room synthetic apartment (9k triangles after subdiv, doorway + clutter
+occlusion), traced by the culled Pallas wedge kernel (ops/pallas_culled.py)
+through the sharded baker over all local devices (1 chip here; the same code
+path shards over a pod slice).
 
 vs_baseline: ratio against BASELINE_MRAYS = 15.0 Mrays/s — an estimate of
 the reference implementation's ray engine on comparable host hardware:
-Embree (Open3D RaycastingScene) sustains ~1-2 Mrays/s per core·GHz for
+Embree (Open3D RaycastingScene) sustains ~1-2 Mrays/s per core-GHz for
 incoherent secondary rays; the reference runs it on the trainer host's CPU
-with a GPU→CPU→GPU tensor round trip per batch
-(models/mat_nvdiffrast.py:292-320).  On this container's 4 cores that bounds
-the reference path well under ~15 Mrays/s; the constant is fixed here so the
-ratio is comparable across rounds.  (No Embree build exists in this image to
-measure directly; the reference publishes no numbers — BASELINE.md.)
+with a GPU->CPU->GPU tensor round trip per batch
+(models/mat_nvdiffrast.py:292-320).  The constant is fixed so the ratio is
+comparable across rounds.  (No Embree build exists in this image to measure
+directly; the reference publishes no numbers — BASELINE.md.)
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -30,65 +40,135 @@ BASELINE_MRAYS = 15.0
 SPP = 2048
 TEXEL_BATCH = 4096
 ATLAS_GEOM_RES = 128
-SUBDIV = 24
 MEASURE_BATCHES = 3
+WEDGES = 4
+FAN_BLOCK = 32
+CLUSTER_ROWS = 32
 
 
-def main():
+def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH):
+    """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
 
-    from texir_code_tpu.data.synthetic import make_apartment_scene
     from texir_code_tpu.geometry.bvh import build_bvh
-    from texir_code_tpu.models.tbl import build_tbl
-    from texir_code_tpu.models.tracer_irt import (
-        IrradianceTextureBaker,
-        bake_geometry_textures,
-    )
+    from texir_code_tpu.models.tbl import build_tbl_from_flat
+    from texir_code_tpu.models.tracer_irt import bake_geometry_textures
     from texir_code_tpu.ops.fan_raycast import FanScene
+    from texir_code_tpu.ops.pallas_culled import ClusterScene
+    from texir_code_tpu.parallel.bake import ShardedIrradianceBaker
+    from texir_code_tpu.parallel.mesh import make_device_mesh
 
-    scene = make_apartment_scene(atlas_res=256, subdiv=SUBDIV)
-    fb = build_bvh(scene.mesh.vertices, scene.mesh.faces)
-    tbl = build_tbl(scene.mesh, scene.hdr_texture)
-    fan = FanScene.from_flat(fb, triangle_uvs=scene.mesh.triangle_uvs())
-    geom = bake_geometry_textures(scene.mesh, ATLAS_GEOM_RES)
+    fb = build_bvh(syn.mesh.vertices, syn.mesh.faces)
+    tbl = build_tbl_from_flat(fb, syn.mesh, syn.hdr_texture)
+    fan = FanScene.from_flat(fb, triangle_uvs=syn.mesh.triangle_uvs())
+    clusters = ClusterScene.from_fan(fan, lb=CLUSTER_ROWS)
+    geom = bake_geometry_textures(syn.mesh, ATLAS_GEOM_RES)
 
-    # exhaustive leaf budget: exact with zero overflow logic — conservative
-    # beam culling cannot capture occlusion in closed scenes, so the honest
-    # configuration streams every leaf (the workload is VPU-flop-bound)
-    baker = IrradianceTextureBaker(
-        tbl, spp=SPP, texel_batch=TEXEL_BATCH, fan_scene=fan,
-        max_leaves=fan.num_leaves,
+    baker = ShardedIrradianceBaker(
+        tbl, spp=SPP, texel_batch=batch, mesh=make_device_mesh(),
+        cluster_scene=clusters, wedges=WEDGES,
     )
+    baker.fan_block = FAN_BLOCK
 
     vr, vc = np.nonzero(geom.valid)
+    from texir_code_tpu.models.tracer_irt import morton_order
+
+    order = morton_order(geom.position[vr, vc])
+    vr, vc = vr[order], vc[order]
     pts = geom.position[vr, vc]
     nrm = geom.normal[vr, vc]
     n = len(pts)
-    reps = (TEXEL_BATCH * (MEASURE_BATCHES + 1) + n - 1) // n
-    pts = np.tile(pts, (reps, 1))[: TEXEL_BATCH * (MEASURE_BATCHES + 1)]
-    nrm = np.tile(nrm, (reps, 1))[: TEXEL_BATCH * (MEASURE_BATCHES + 1)]
-    seed = jnp.int32(7)
+    need = batch * (n_meas + 1)
+    reps = (need + n - 1) // n
+    pts = np.tile(pts, (reps, 1))[:need]
+    nrm = np.tile(nrm, (reps, 1))[:need]
 
-    def run_batch(i):
-        sl = slice(i * TEXEL_BATCH, (i + 1) * TEXEL_BATCH)
-        ids = jnp.arange(i * TEXEL_BATCH, (i + 1) * TEXEL_BATCH, dtype=jnp.int32)
+    def run(i):
+        # vary the seed per batch: the axon relay replays identical dispatches
+        sl = slice(i * batch, (i + 1) * batch)
+        ids = jnp.arange(i * batch, (i + 1) * batch, dtype=jnp.int32)
         return baker.bake_batch(
-            jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids, seed
+            jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids, jnp.int32(7 + i)
         )
 
-    # warmup/compile
-    out = run_batch(0)
+    out = run(0)
     jax.block_until_ready(out)
-
     t0 = time.time()
-    for i in range(1, MEASURE_BATCHES + 1):
-        out = run_batch(i)
-    jax.block_until_ready(out)
+    outs = [run(i) for i in range(1, n_meas + 1)]
+    jax.block_until_ready(outs)
     dt = time.time() - t0
+    return n_meas * batch * SPP / dt / 1e6, syn.mesh.num_faces
 
-    rays = MEASURE_BATCHES * TEXEL_BATCH * SPP
-    mrays = rays / dt / 1e6
+
+def _mat_step(syn):
+    """Full-shape Mat stage-2 training step: iters/s."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from texir_code_tpu.models.losses import render_loss
+    from texir_code_tpu.models.material import (
+        MaterialModel,
+        clamp_material_params,
+        init_material_params,
+    )
+    from texir_code_tpu.ops.gbuffer import cube_mvp
+
+    irt = np.maximum(syn.hdr_texture, 0.1)  # stand-in IrT at atlas res
+    model = MaterialModel(
+        syn.mesh, syn.hdr_texture, irt, pano_res=(256, 512),
+        sample_light=(32, 16),
+    )
+    params = init_material_params(2048, 4096)
+    pos = jnp.asarray(syn.camera_positions(1)[0])
+    ext = np.eye(4, dtype=np.float32)
+    ext[0:3, 3] = np.asarray(pos)
+    mvp = cube_mvp(jnp.asarray(ext))
+    res = model.cube_res
+    gt = jnp.full((6, res, res, 3), 0.2)
+    seg_id = jnp.zeros((6, res, res), jnp.int32)
+    ones = jnp.ones((6, res, res, 1))
+    opt = optax.adam(3e-2)
+
+    def step(p, opt_state, key):
+        def loss_fn(pp):
+            out = model._forward(pp, mvp, pos, key, stage=2)
+            total, _ = render_loss(gt, out, ones, seg_id, 49, 2, seg_region=ones)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(grads, opt_state)
+        p = optax.apply_updates(p, updates)
+        return clamp_material_params(p), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    opt_state = opt.init(params)
+    params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(0))
+    jax.block_until_ready(loss)
+    n = 4
+    t0 = time.time()
+    for i in range(1, n + 1):
+        params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(i))
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    return n / dt
+
+
+def main():
+    from texir_code_tpu.data.synthetic import (
+        make_apartment_scene,
+        make_building_scene,
+    )
+
+    apt = make_apartment_scene(atlas_res=256, subdiv=24)
+    mrays, tris = _bake_scene(apt)
+
+    big = make_building_scene(atlas_res=256, subdiv=28)
+    big_mrays, big_tris = _bake_scene(big, n_meas=2)
+
+    mat_ips = _mat_step(apt)
+
     print(
         json.dumps(
             {
@@ -96,6 +176,18 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+                "mat_step": {
+                    "value": round(mat_ips, 3),
+                    "unit": "iters/s",
+                    "workload": "6x128^2 px, 16 spp, 2048^2+4096^2 atlases, stage 2",
+                },
+                "big_scene": {
+                    "value": round(big_mrays, 2),
+                    "unit": "Mrays/s/chip",
+                    "triangles": int(big_tris),
+                    "vs_small_scene_tris": int(tris),
+                    "note": "throughput decay vs 12.7x more triangles",
+                },
             }
         )
     )

@@ -49,12 +49,22 @@ def load_optimized_materials(plots_dir: str) -> MaterialParams:
 class EvalMaterialModel(MaterialModel):
     """MaterialModel + seg-texture editing + relighting."""
 
-    def __init__(self, *args, seg_texture: Optional[np.ndarray] = None, **kw):
+    def __init__(
+        self,
+        *args,
+        seg_texture: Optional[np.ndarray] = None,
+        shade_chunk: Optional[int] = 4096,
+        **kw,
+    ):
         super().__init__(*args, **kw)
         self.seg_texture = (
             jnp.asarray(seg_texture.astype(np.float32))
             if seg_texture is not None else None
         )
+        # pixel chunking so reference eval spp (diffuse 1024 / specular 256,
+        # configs/test.conf:10) fits one chip (reference split_input,
+        # utils/general.py:28-58)
+        self.shade_chunk = shade_chunk
 
     # -- editing ----------------------------------------------------------
     def edited_params(
@@ -143,51 +153,86 @@ class EvalMaterialModel(MaterialModel):
 
         f, h, w, _ = normal.shape
         b = f * h * w
-        n = tuple(normal[..., k].reshape(b) for k in range(3))
-        pts = tuple(
-            (position + 1e-2 * normal)[..., k].reshape(b) for k in range(3)
+        normal_f = normal.reshape(b, 3)
+        pts_f = (position + 1e-2 * normal).reshape(b, 3)
+        alb_f = albedo.reshape(b, 3)
+        rgh_f = roughness.reshape(b, 1)
+        k_diff, k_spec = jax.random.split(key)
+        row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(b, dtype=jnp.int32)
         )
-        alb = albedo.reshape(b, 3)
-        rgh = roughness.reshape(b)
+        shifts = jax.vmap(lambda k: jax.random.uniform(k, (4,)))(row_keys)
 
         from texir_code_tpu.models.tbl import query_tbl_auto
-
-        k_diff, k_spec = jax.random.split(key)
-        # live MC diffuse irradiance over the relit emitter
-        dirs = generate_dir_soa(n, diffuse_spp, k_diff, mode="uniform")
-        lighting = query_tbl_auto(
-            tbl,
-            self.fan_scene if self.use_pallas else None,
-            tuple(jnp.broadcast_to(p[:, None], (b, diffuse_spp)) for p in pts),
-            dirs,
+        from texir_code_tpu.ops.chunking import map_chunked
+        from texir_code_tpu.ops.sampling import (
+            TINY_NUMBER,
+            hammersley,
+            reflect_soa,
         )
-        irr = jnp.stack(
-            shading.irradiance_estimator_soa(lighting, dirs, n, diffuse_spp),
-            axis=-1,
-        )
-        diffuse = shading.lambertian_diffuse(irr, alb)
 
-        from texir_code_tpu.ops.sampling import reflect_soa
-
-        view = tuple(cam_position[k] - pts[k] for k in range(3))
-        vn = jnp.maximum(jnp.sqrt(sum(v * v for v in view)), 1e-4)
-        view = tuple(v / vn for v in view)
+        ham_d = hammersley(diffuse_spp)
         s_spec = self.sample_light[1]
-        half = generate_dir_soa(n, s_spec, k_spec, mode="importance", roughness=rgh)
-        light_dirs, _ = reflect_soa(view, half)
-        spec_light = query_tbl_auto(
-            tbl,
-            self.fan_scene if self.use_pallas else None,
-            tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
-            light_dirs,
+        ham_s = hammersley(s_spec)
+
+        def shade(a):
+            nrm4, pts4, alb4, rgh4, shift4 = a
+            bb = nrm4.shape[0]
+            n = tuple(nrm4[:, k] for k in range(3))
+            pts = tuple(pts4[:, k] for k in range(3))
+            rgh = rgh4.reshape(bb)
+            # live MC diffuse irradiance over the relit emitter
+            s_d = jnp.clip(
+                jnp.mod(ham_d[None] + shift4[:, None, 0:2], 1.0),
+                TINY_NUMBER, 1.0 - TINY_NUMBER,
+            )
+            dirs = generate_dir_soa(
+                n, diffuse_spp, k_diff, mode="uniform", samples=s_d
+            )
+            lighting = query_tbl_auto(
+                tbl,
+                self.fan_scene if self.use_pallas else None,
+                tuple(
+                    jnp.broadcast_to(p[:, None], (bb, diffuse_spp)) for p in pts
+                ),
+                dirs,
+            )
+            irr = jnp.stack(
+                shading.irradiance_estimator_soa(lighting, dirs, n, diffuse_spp),
+                axis=-1,
+            )
+            diffuse = shading.lambertian_diffuse(irr, alb4)
+
+            view = tuple(cam_position[k] - pts[k] for k in range(3))
+            vn = jnp.maximum(jnp.sqrt(sum(v * v for v in view)), 1e-4)
+            view = tuple(v / vn for v in view)
+            s_s = jnp.clip(
+                jnp.mod(ham_s[None] + shift4[:, None, 2:4], 1.0),
+                TINY_NUMBER, 1.0 - TINY_NUMBER,
+            )
+            half = generate_dir_soa(
+                n, s_spec, k_spec, mode="importance", roughness=rgh, samples=s_s
+            )
+            light_dirs, _ = reflect_soa(view, half)
+            spec_light = query_tbl_auto(
+                tbl,
+                self.fan_scene if self.use_pallas else None,
+                tuple(jnp.broadcast_to(p[:, None], (bb, s_spec)) for p in pts),
+                light_dirs,
+            )
+            spec = shading.specular_estimator_soa(
+                spec_light, half, n, view, light_dirs, rgh
+            )
+            specular = jnp.stack(spec, axis=-1) / s_spec
+            return (diffuse + specular,)
+
+        chunk = self.shade_chunk or b
+        (rgb_flat,) = map_chunked(
+            shade, (normal_f, pts_f, alb_f, rgh_f, shifts), min(chunk, b)
         )
-        spec = shading.specular_estimator_soa(
-            spec_light, half, n, view, light_dirs, rgh
-        )
-        specular = jnp.stack(spec, axis=-1) / s_spec
 
         return {
-            "rgb": (diffuse + specular).reshape(f, h, w, 3),
+            "rgb": rgb_flat.reshape(f, h, w, 3),
             "albedo": albedo,
             "roughness": roughness,
             "normal": normal,

@@ -149,6 +149,9 @@ class MaterialModel:
 
         self.use_pallas = _jax.default_backend() != "cpu"
         self.spmd_mesh = spmd_mesh
+        # pixel-chunked shading for high-spp evaluation (the reference's
+        # split_input at 2000 px, utils/general.py:28-58); None = one shot.
+        self.shade_chunk: Optional[int] = None
 
         self._jitted = {}
 
@@ -290,11 +293,22 @@ class MaterialModel:
         parameter gradients lives here, so sharding the pixel axis shards
         the backward pass and the per-device partial atlas gradients get
         psum'd by the shard_map transpose."""
-        alb_pyr = build_mip_pyramid(params.albedo, self.max_mip_level)
-        rgh_pyr = build_mip_pyramid(params.roughness, self.max_mip_level)
+        alb_pyr = tuple(build_mip_pyramid(params.albedo, self.max_mip_level))
+        rgh_pyr = tuple(build_mip_pyramid(params.roughness, self.max_mip_level))
+        return self._shade_core(
+            alb_pyr, rgh_pyr, params.roughness, uv, lod_a, lod_r, lod_i,
+            normal, position, spec_shift, cam_position, stage,
+        )
+
+    def _shade_core(
+        self, alb_pyr, rgh_pyr, rough_base, uv, lod_a, lod_r, lod_i,
+        normal, position, spec_shift, cam_position, stage: int,
+    ):
+        """_shade_flat with prebuilt pyramids — the chunked-eval inner body
+        (pyramids are hoisted out of the lax.map loop)."""
         albedo = texture_sample(alb_pyr, uv, lod_a)
         roughness = texture_sample(rgh_pyr, uv, lod_r)
-        roughness_womip = bilinear_sample(params.roughness, uv)
+        roughness_womip = bilinear_sample(rough_base, uv)
         irr = texture_sample(self.irt_pyramid, uv, lod_i)
 
         if stage == -1:
@@ -362,7 +376,24 @@ class MaterialModel:
             normal.reshape(b, 3), position.reshape(b, 3),
             spec_shift, cam_position,
         )
-        if self.spmd_mesh is None:
+        if self.spmd_mesh is None and self.shade_chunk:
+            from texir_code_tpu.ops.chunking import map_chunked
+
+            alb_pyr = tuple(build_mip_pyramid(params.albedo, self.max_mip_level))
+            rgh_pyr = tuple(
+                build_mip_pyramid(params.roughness, self.max_mip_level)
+            )
+
+            def chunk_fn(a):
+                return self._shade_core(
+                    alb_pyr, rgh_pyr, params.roughness, *a,
+                    cam_position=cam_position, stage=stage,
+                )
+
+            rgb, albedo, roughness, roughness_womip = map_chunked(
+                chunk_fn, args[1:-1], self.shade_chunk
+            )
+        elif self.spmd_mesh is None:
             rgb, albedo, roughness, roughness_womip = self._shade_flat(
                 *args, stage=stage
             )

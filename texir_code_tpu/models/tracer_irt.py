@@ -78,6 +78,34 @@ def bake_irradiance_soa(
     return irradiance_estimator_soa(lighting, dirs, normals, spp)
 
 
+def morton_order(points: np.ndarray) -> np.ndarray:
+    """argsort of [N, 3] points by 30-bit Morton code of quantized position.
+
+    Bake batches are built from atlas texels in raster order — consecutive
+    texels of a scan-scale chart can lie METERS apart in world space, which
+    ruins the culled tracer's per-block origin boxes (a block spanning the
+    whole building culls nothing).  Sorting texels in Morton order makes
+    every kernel block a tight spatial neighborhood; the estimator result is
+    unchanged (per-texel scatter-back) and stays deterministic."""
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    q = ((points - lo) / np.maximum(hi - lo, 1e-9) * 1023.0).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
+        return x
+
+    code = (
+        spread(q[:, 0])
+        | (spread(q[:, 1]) << np.uint64(1))
+        | (spread(q[:, 2]) << np.uint64(2))
+    )
+    return np.argsort(code, kind="stable")
+
+
 @dataclasses.dataclass
 class GeometryTextures:
     """Per-texel geometry of the uv atlas."""
@@ -265,17 +293,14 @@ class IrradianceTextureBaker:
         rows_o = tuple(tile_rows(a, g) for a in origins)
         hit = cast_fans_culled(
             self.cluster_scene, rows_o, rows_d,
-            emit_uv=self.cluster_scene.has_uv,
+            emit_uv=False,
             interpret=self.pallas_interpret,
             fan_block=self.fan_block,
         )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
-        if self.cluster_scene.has_uv:
-            part = self._fan_estimate_uv(hit.t, hit.u, hit.v, rows_d, rows_n)
-        else:
-            part = self._fan_estimate(
-                hit.t, hit.prim, hit.u, hit.v, rows_d, rows_n
-            )
+        part = self._fan_estimate_prim_rgbe(
+            hit.t, hit.prim, hit.u, hit.v, rows_d, rows_n
+        )
         t = points.shape[0]
         return part.reshape(g, t, 3).sum(axis=0)
 
@@ -308,6 +333,43 @@ class IrradianceTextureBaker:
         from texir_code_tpu.models.tbl import bilinear_rgbe
 
         valid = jnp.isfinite(hit_t) & (hit_t > 1e-4)
+        r, g, b = bilinear_rgbe(
+            self._rgbe, jnp.clip(uu, 0.0, 1.0), jnp.clip(vv, 0.0, 1.0)
+        )
+        z = jnp.zeros_like(r)
+        lighting = (
+            jnp.where(valid, r, z), jnp.where(valid, g, z), jnp.where(valid, b, z),
+        )
+        return jnp.stack(
+            irradiance_estimator_soa(lighting, dirs, normals_soa, self.spp),
+            axis=-1,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _fan_estimate_prim_rgbe(self, hit_t, hit_prim, hit_u, hit_v, dirs,
+                                normals_soa):
+        """Estimator from barycentric hits: per-corner uv lerp (6 gathers) +
+        one RGBE bilinear fetch (4 gathers) per ray.  ~10 gathers/ray is far
+        cheaper than interpolating atlas uv inside the kernel, where the 8
+        extra VPU ops are paid per triangle TEST (tens of tests per ray)."""
+        from texir_code_tpu.models.tbl import bilinear_rgbe
+
+        valid = jnp.isfinite(hit_t) & (hit_t > 1e-4)
+        prim = jnp.where(valid, hit_prim, 0)
+        u = jnp.clip(hit_u, 0.0, 1.0)
+        v = jnp.clip(hit_v, 0.0, 1.0)
+        w0 = 1.0 - u - v
+        base = prim * 3
+        uu = (
+            jnp.take(self.tbl.uv_u, base) * w0
+            + jnp.take(self.tbl.uv_u, base + 1) * u
+            + jnp.take(self.tbl.uv_u, base + 2) * v
+        )
+        vv = (
+            jnp.take(self.tbl.uv_v, base) * w0
+            + jnp.take(self.tbl.uv_v, base + 1) * u
+            + jnp.take(self.tbl.uv_v, base + 2) * v
+        )
         r, g, b = bilinear_rgbe(
             self._rgbe, jnp.clip(uu, 0.0, 1.0), jnp.clip(vv, 0.0, 1.0)
         )
@@ -398,6 +460,9 @@ class IrradianceTextureBaker:
         valid_texels × spp (the reference's 1024² × 2048 ≈ 2.1 G rays)."""
         res = geom.position.shape[0]
         vr, vc = np.nonzero(geom.valid)
+        # spatially coherent batches (see morton_order)
+        order = morton_order(geom.position[vr, vc])
+        vr, vc = vr[order], vc[order]
         pts = jnp.asarray(geom.position[vr, vc])
         nrm = jnp.asarray(geom.normal[vr, vc])
         n = pts.shape[0]

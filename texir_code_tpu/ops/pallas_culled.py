@@ -305,8 +305,7 @@ def _culled_kernel(
                 vv = ov + t * dv
                 ok = (
                     ok_nd
-                    & (uu >= -_BARY_EPS)
-                    & (vv >= -_BARY_EPS)
+                    & (jnp.minimum(uu, vv) >= -_BARY_EPS)
                     & (uu + vv <= 1.0 + _BARY_EPS)
                     & (t > t_min)
                     & (t < t_best)

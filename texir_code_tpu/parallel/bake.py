@@ -30,6 +30,7 @@ from texir_code_tpu.models.tracer_irt import (
     GeometryTextures,
     IrradianceTextureBaker,
     bake_irradiance_soa,
+    morton_order,
 )
 from texir_code_tpu.parallel.mesh import RAY_AXIS, make_device_mesh
 
@@ -107,6 +108,9 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
     ) -> np.ndarray:
         res = geom.position.shape[0]
         vr, vc = np.nonzero(geom.valid)
+        # spatially coherent batches (see morton_order)
+        order = morton_order(geom.position[vr, vc])
+        vr, vc = vr[order], vc[order]
         pts = np.asarray(geom.position[vr, vc])
         nrm = np.asarray(geom.normal[vr, vc])
         n = pts.shape[0]
