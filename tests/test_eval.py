@@ -174,6 +174,32 @@ def test_head_runner_and_syn_eval(trained_env):
     assert np.isfinite(m["albedo_psnr"]) and np.isfinite(m["roughness_psnr"])
 
 
+def test_head_syn_runner(trained_env):
+    """BaselineHeadSynRunner: novel split held out of training, final eval
+    carries re-render + novel + GT-material metrics (the reference
+    train_material_*_syn.py contract)."""
+    from texir_code_tpu.train.heads import BaselineHeadSynRunner
+
+    scene, root, path_mesh, conf, exps = trained_env
+    # designate the last view as novel
+    with open(os.path.join(root, "info", "novel.txt"), "w") as f:
+        f.write("view001\n")
+    try:
+        runner = BaselineHeadSynRunner(
+            conf, "recmlp", expname="hsyn", exps_root=exps, max_epochs=1,
+            eval_spp=8,
+        )
+        assert runner._train_indices() == [0]
+        runner.run()
+        m = runner.metrics
+        for k in ("rerender_psnr", "novel_psnr", "albedo_psnr",
+                  "roughness_psnr"):
+            assert np.isfinite(m[k]), k
+        assert runner.model.sample_light[1] == 8  # eval spp applied
+    finally:
+        os.remove(os.path.join(root, "info", "novel.txt"))
+
+
 def test_msssim_and_gradient_loss(rng):
     import jax.numpy as jnp
 

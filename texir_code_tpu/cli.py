@@ -101,20 +101,47 @@ def _mat_syn(conf, args):
     ).run()
 
 
+_HEAD_OF_STAGE = {
+    # this CLI's names + the reference exp_runner's (trainer/exp_runner.py:55-66)
+    "MatInv": "invrender", "Inv": "invrender",
+    "MatNeilf": "neilf", "Neilf": "neilf",
+    "MatRec": "recmlp", "RecMLP": "recmlp",
+}
+_SYN_HEAD_OF_STAGE = {
+    "MatInvSyn": "invrender", "InvSyn": "invrender",
+    "MatNeilfSyn": "neilf", "NeilfSyn": "neilf",
+    "MatRecSyn": "recmlp", "RecMLPSyn": "recmlp",
+}
+
+
 def _head(name):
     @_train_stage(name)
     def _run(conf, args, _name=name):
         from texir_code_tpu.train.heads import BaselineHeadRunner
 
-        head = {"MatInv": "invrender", "MatNeilf": "neilf", "MatRec": "recmlp"}[_name]
         return BaselineHeadRunner(
-            conf, head, expname=args.expname, exps_root=args.exps_folder,
+            conf, _HEAD_OF_STAGE[_name], expname=args.expname,
+            exps_root=args.exps_folder,
             conf_path=args.conf, max_epochs=args.max_epochs,
         ).run()
 
 
-for _n in ("MatInv", "MatNeilf", "MatRec"):
+def _head_syn(name):
+    @_train_stage(name)
+    def _run(conf, args, _name=name):
+        from texir_code_tpu.train.heads import BaselineHeadSynRunner
+
+        return BaselineHeadSynRunner(
+            conf, _SYN_HEAD_OF_STAGE[_name], expname=args.expname,
+            exps_root=args.exps_folder,
+            conf_path=args.conf, max_epochs=args.max_epochs,
+        ).run()
+
+
+for _n in _HEAD_OF_STAGE:
     _head(_n)
+for _n in _SYN_HEAD_OF_STAGE:
+    _head_syn(_n)
 
 
 TEST_STAGES = {}

@@ -1,11 +1,12 @@
 """MLP material model over panorama G-buffers (stage Mat with MLP head).
 
-Rebuild of reference models/mat_mlp.py:30-228 (`MaterialMLP`) and the
-per-object variant models/mat_redner.py:32-253: the pre-nvdiffrast pipeline
-kept as an alternative — materials predicted by an MLP at G-buffer positions
-of an equirectangular camera (the reference renders the G-buffer with
-redner, here pano rays are cast against the BVH), shaded with TBL diffuse +
-specular Monte Carlo.
+Rebuild of reference models/mat_mlp.py:30-228 (`MaterialMLP`): the
+pre-nvdiffrast pipeline kept as an alternative — materials predicted by an
+MLP at G-buffer positions of an equirectangular camera (the reference
+renders the G-buffer with redner, here pano rays are cast against the BVH),
+shaded with TBL diffuse + specular Monte Carlo.  The explicit per-object
+texture variant (reference models/mat_redner.py) lives in
+models/material_redner.py.
 """
 
 from __future__ import annotations

@@ -25,7 +25,7 @@ _ALIASES: Dict[str, str] = {
     # models
     "models.tracer_o3d.TracerO3d": "texir_code_tpu.models.tracer_irf.TracerIRF",
     "models.mat_mlp.MaterialMLP": "texir_code_tpu.models.material_mlp.MaterialMLP",
-    "models.mat_redner.MaterialModel": "texir_code_tpu.models.material_mlp.MaterialMLP",
+    "models.mat_redner.MaterialModel": "texir_code_tpu.models.material_redner.RednerMaterialModel",
     "models.tracer_o3d_irrf.TracerO3d": "texir_code_tpu.models.tracer_irrf.TracerIRRF",
     "models.tracer_o3d_irt.TracerO3d": "texir_code_tpu.models.tracer_irt.IrradianceTextureBaker",
     "models.tracer_o3d_pil.TracerO3d": "texir_code_tpu.models.tracer_pil.TracerPIL",

@@ -233,6 +233,135 @@ def evaluate_head_materials_syn(
     return out
 
 
+class BaselineHeadSynRunner(BaselineHeadRunner):
+    """Synthetic-GT variant of the baseline-head trainers.
+
+    Rebuild of reference trainer/train_material_{invrender,neilf,recMLP}
+    _syn.py (3×434 LoC, again structurally identical): train the head on
+    the synthetic split only (novel views held out), then evaluate at
+    high specular spp — re-render MSE/PSNR/SSIM over train AND novel
+    views (reference train_material_invrender_syn.py:245-374,387-433)
+    plus GT albedo/roughness metrics with the scale fit and emitter
+    postprocessing (:291-292 scale_compute + postprocessing_materials).
+    """
+
+    SYN_STAGE_NAMES = {
+        "invrender": "MatInvSyn", "neilf": "MatNeilfSyn", "recmlp": "MatRecSyn"
+    }
+
+    def __init__(self, conf, head, eval_spp: Optional[int] = 256, **kw):
+        from texir_code_tpu.data.datasets import ImageCubeSyn
+
+        path_mesh = conf.get_string("train.path_mesh_open3d")
+        pano_res = tuple(conf.get_list("train.pano_img_res", default=[256, 512]))
+        hdr_exposure = conf.get_float("train.hdr_exposure", default=0.0)
+        dataset = kw.pop("dataset", None) or ImageCubeSyn(
+            path_mesh, resolution=pano_res, hdr_exposure=hdr_exposure
+        )
+        self.eval_spp = eval_spp
+        super().__init__(conf, head, dataset=dataset, **kw)
+        # distinct exp-dir stage prefix for the syn variants
+        self.exp = ExperimentDir(
+            kw.get("exps_root", "exps"), self.SYN_STAGE_NAMES[self.head],
+            self.expname, kw.get("is_continue", False), kw.get("timestamp"),
+            kw.get("conf_path"),
+        )
+        self.writer = self.exp.writer()
+
+    def _train_indices(self):
+        ds = self.dataset
+        train_ids = getattr(ds, "train_ids", None) or ds.ids
+        return [i for i, vid in enumerate(ds.ids) if vid in train_ids]
+
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+
+        idxs = self._train_indices()
+        cur_iter = 0
+        for epoch in range(self.nepochs):
+            for i in idxs:
+                t0 = time.time()
+                item = self.dataset[i]
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state,
+                    jnp.asarray(item["cam_to_world"]),
+                    jnp.asarray(item["cam_position"]),
+                    jnp.asarray(item["color"]),
+                    jnp.asarray(item["rgb_grad"]),
+                    jnp.asarray(float(cur_iter)),
+                    jax.random.fold_in(self.key, cur_iter),
+                )
+                print(
+                    f"{self.expname} [{epoch}] ({i}/{len(idxs)}): "
+                    f"{self.head}_syn_loss = {float(loss):.6f}, "
+                    f"batch cost time : {time.time()-t0:.4f}s"
+                )
+                self.writer.add_scalar(
+                    f"{self.head}_syn_loss", float(loss), cur_iter
+                )
+                cur_iter += 1
+        ckpt.save_checkpoint(
+            self.exp.checkpoints_dir, self.nepochs, {"params": self.params}
+        )
+        self.metrics = self.evaluate()
+        return self.params
+
+    def evaluate(self) -> Dict[str, float]:
+        """High-spp re-render + GT material metrics (reference :431-435:
+        `self.model.sample_l[1] = 256; self.plot_to_disk_cube(stage=0)`)."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.models.losses import ssim
+        from texir_code_tpu.ops.shading import mse_to_psnr, tonemap
+
+        if self.eval_spp:
+            self.model.sample_light = (
+                self.model.sample_light[0], self.eval_spp
+            )
+            self.model._jitted.clear()
+
+        ds = self.dataset
+        novel = set(getattr(ds, "novel_ids", []) or [])
+
+        def render_metrics(indices, tag):
+            if not indices:
+                return {}
+            mse = psnr = ssim_v = 0.0
+            for i in indices:
+                item = ds[i]
+                out = self.model.forward(
+                    self.params, jnp.asarray(item["cam_to_world"]),
+                    jnp.asarray(item["cam_position"]),
+                    jax.random.fold_in(self.key, 30_000 + i),
+                )
+                pred = tonemap(out["rgb"])
+                gt = tonemap(jnp.asarray(item["color"]))
+                m = float(jnp.mean((pred - gt) ** 2))
+                mse += m
+                psnr += float(mse_to_psnr(jnp.asarray(m)))
+                ssim_v += float(ssim(pred, gt))
+            n = len(indices)
+            out = {
+                f"{tag}_mse": mse / n, f"{tag}_psnr": psnr / n,
+                f"{tag}_ssim": ssim_v / n,
+            }
+            print(f"{self.head} {tag} re-rendering error:", out)
+            return out
+
+        train_idx = self._train_indices()
+        novel_idx = [i for i, vid in enumerate(ds.ids) if vid in novel]
+        metrics = {}
+        metrics.update(render_metrics(train_idx, "rerender"))
+        metrics.update(render_metrics(novel_idx, "novel"))
+        try:
+            metrics.update(evaluate_head_materials_syn(self))
+        except ValueError:
+            pass
+        return metrics
+
+
 def InvRenderTrainRunner(conf, **kw):
     return BaselineHeadRunner(conf, "invrender", **kw)
 
@@ -243,3 +372,15 @@ def NeILFTrainRunner(conf, **kw):
 
 def NvDiffRecTrainRunner(conf, **kw):
     return BaselineHeadRunner(conf, "recmlp", **kw)
+
+
+def MatInvTrainSynRunner(conf, **kw):
+    return BaselineHeadSynRunner(conf, "invrender", **kw)
+
+
+def MatNeilfTrainSynRunner(conf, **kw):
+    return BaselineHeadSynRunner(conf, "neilf", **kw)
+
+
+def MatRecMLPTrainSynRunner(conf, **kw):
+    return BaselineHeadSynRunner(conf, "recmlp", **kw)
