@@ -209,6 +209,12 @@ def main(argv=None):
     pt.add_argument("--max_epochs", type=int, default=None)
     pt.add_argument("--irt_res", type=int, default=1024)
     pt.add_argument("--debug_nans", action="store_true")
+    # multi-host (pod-slice / multi-process) launch: every host runs the
+    # same command with its own --process_id (parallel/multihost.py)
+    pt.add_argument("--coordinator", default=None,
+                    help="jax.distributed coordinator address host:port")
+    pt.add_argument("--num_processes", type=int, default=None)
+    pt.add_argument("--process_id", type=int, default=None)
 
     pe = sub.add_parser("test")
     pe.add_argument("--conf", required=True)
@@ -241,6 +247,16 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
+        from texir_code_tpu.parallel.multihost import initialize_multihost
+
+        pidx, pcnt = initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"multihost: process {pidx}/{pcnt}")
 
     from texir_code_tpu.config import ConfigFactory
 

@@ -33,6 +33,7 @@ from texir_code_tpu.models.tracer_irt import (
     morton_order,
 )
 from texir_code_tpu.parallel.mesh import RAY_AXIS, make_device_mesh
+from texir_code_tpu.parallel.multihost import process_local_slice
 
 
 class ShardedIrradianceBaker(IrradianceTextureBaker):
@@ -125,13 +126,24 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         out = np.zeros((n + pad, 3), np.float32)
         ids = jnp.arange(nb * bs, dtype=jnp.int32)
-        for i in range(nb):
+        # multi-host: each process takes a contiguous share of the batches
+        # (texel RNG is keyed by global id, so the split is bit-invariant)
+        pidx, pcnt = jax.process_index(), jax.process_count()
+        my = process_local_slice(nb, pidx, pcnt)
+        for i in range(my.start, my.stop):
             sl = slice(i * bs, (i + 1) * bs)
             out[sl] = np.asarray(
                 self._sharded(jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids[sl], seed)
             )
             if progress and i % 16 == 0:
                 print(f"sharded bake: {i + 1}/{nb} batches")
+        if pcnt > 1:
+            # disjoint batch ranges → summing the gathered copies merges them
+            from jax.experimental import multihost_utils
+
+            out = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(out))
+            ).sum(axis=0)
         tex = np.zeros((res, res, 3), np.float32)
         tex[vr, vc] = out[:n]
         return tex

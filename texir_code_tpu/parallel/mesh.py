@@ -31,8 +31,15 @@ RAY_AXIS = "rays"
 def make_device_mesh(
     n_devices: Optional[int] = None, axis_name: str = RAY_AXIS
 ) -> Mesh:
-    """1-D mesh over the first `n_devices` devices (default: all)."""
-    devices = jax.devices()
+    """1-D mesh over the first `n_devices` *process-local* devices
+    (default: all).
+
+    Under jax.distributed each process gets a mesh over its own chips:
+    the bake is embarrassingly parallel over texels, so processes split
+    batches host-side (parallel.bake) and combine with a process
+    allgather — no cross-host collective inside the kernel.  In
+    single-process runs local == global, so nothing changes."""
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
