@@ -69,6 +69,48 @@ def test_editing_runner(trained_env):
     assert np.abs(frames[0] - frames[2]).max() > 1e-4
 
 
+def test_editing_keyframes_conf(trained_env):
+    """Conf-driven keyframed edits over multiple views
+    (reference tester/test_editing.py:236-316 plot_to_disk_varying)."""
+    from texir_code_tpu.eval.runners import (
+        MatEditingRunner,
+        expand_keyframes,
+        parse_editing_conf,
+    )
+
+    scene, root, path_mesh, conf, exps = trained_env
+    # change_color parity: first kf, then fps inclusive samples per segment
+    exp = expand_keyframes([[0.0], [1.0]], 3)
+    assert [float(e) for e in exp] == [0.0, 0.0, 0.5, 1.0]
+
+    edit_conf = parse_string(
+        CONF_TEMPLATE.format(mesh=path_mesh, results=os.path.join(root, "results"))
+        + """
+test{
+  editing{
+    frames_per_segment = 2
+    views = [0, 1]
+    classes = [2]
+    albedo_2 = [[1.0,0.0,0.0],[0.0,0.0,1.0]]
+    roughness_2 = [0.1, 0.9]
+  }
+}
+"""
+    )
+    spec = parse_editing_conf(edit_conf)
+    assert spec is not None
+    keyframes, views, fps = spec
+    assert views == [0, 1] and fps == 2 and 2 in keyframes
+
+    runner = MatEditingRunner(edit_conf, expname="e", exps_root=exps)
+    frames = runner.run_from_conf()
+    # 3 frames (1 + 2 per segment x 1 segment) x 2 views
+    assert len(frames) == 6
+    # red->blue albedo edit: first and last frame of view 0 differ
+    assert np.abs(frames[0] - frames[4]).max() > 1e-4
+    assert os.path.exists(os.path.join(runner.exp.plots_dir, "edit_002_v1.hdr"))
+
+
 def test_novel_view_runner(trained_env):
     from texir_code_tpu.eval.runners import NovelViewRunner
 

@@ -162,7 +162,7 @@ def _editing(conf, args):
     return MatEditingRunner(
         conf, expname=args.expname, exps_root=args.exps_folder,
         timestamp=args.timestamp,
-    ).run()
+    ).run_from_conf()
 
 
 @_test_stage("View")

@@ -111,20 +111,86 @@ class _TesterBase:
         )
 
 
+def expand_keyframes(
+    keyframes: Sequence, frames_per_segment: int
+) -> List[np.ndarray]:
+    """Piecewise-linear keyframe expansion, matching the reference's
+    `change_color` (tester/test_editing.py:173-206): the first keyframe,
+    then `frames_per_segment` linspace(0,1)-inclusive samples per segment
+    (so segment boundaries repeat, exactly like the reference)."""
+    kfs = [np.asarray(k, np.float32) for k in keyframes]
+    out = [kfs[0]]
+    for i in range(1, len(kfs)):
+        for t in np.linspace(0.0, 1.0, frames_per_segment):
+            out.append(((1 - t) * kfs[i - 1] + t * kfs[i]).astype(np.float32))
+    return out
+
+
+def parse_editing_conf(conf: Config):
+    """Read a `test.editing` conf block into keyframe tracks.
+
+    Schema (conf-driven version of the hard-coded specs in
+    tester/test_editing.py:236-281):
+
+        test { editing {
+            frames_per_segment = 5
+            views = [0]              # view indices; absent/[] = all views
+            classes = [1, 2]
+            albedo_1 = [[r,g,b], [r,g,b], ...]   # keyframes for seg class 1
+            roughness_2 = [0.01, 0.2, ...]       # scalar keyframes
+        }}
+
+    Returns (keyframes, views, frames_per_segment) or None when the conf has
+    no editing block.
+    """
+    classes = conf.get_list("test.editing.classes", default=None)
+    if classes is None:
+        return None
+    fps = conf.get_int("test.editing.frames_per_segment", default=5)
+    views = conf.get_list("test.editing.views", default=[]) or None
+    keyframes: Dict[int, Dict[str, list]] = {}
+    for cls in classes:
+        spec = {}
+        a = conf.get_list(f"test.editing.albedo_{cls}", default=None)
+        r = conf.get_list(f"test.editing.roughness_{cls}", default=None)
+        if a is not None:
+            spec["albedo"] = a
+        if r is not None:
+            spec["roughness"] = [[v] if np.isscalar(v) else v for v in r]
+        keyframes[int(cls)] = spec
+    return keyframes, views, fps
+
+
 class MatEditingRunner(_TesterBase):
     STAGE = "Editing"
+
+    def _render_edit(self, params, item, key) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = self.model.forward(
+            params, jnp.asarray(item["cam_to_world"]),
+            jnp.asarray(item["cam_position"]), 2, key,
+        )
+        return np.asarray(out["rgb"])
 
     def run(
         self,
         edits: Optional[Dict[int, Dict[str, object]]] = None,
         num_frames: int = 1,
         end_edits: Optional[Dict[int, Dict[str, object]]] = None,
+        views: Optional[Sequence[int]] = None,
     ) -> List[np.ndarray]:
         """Render edited materials; with `end_edits`, linearly interpolate
         edit values across frames (the reference's change_color animation,
-        tester/test_editing.py:174-206)."""
+        tester/test_editing.py:174-206).  `views` selects which dataset
+        views to render per frame (default: view 0, like the reference's
+        plot_to_disk_varying; the reference's plot_to_disk_cube loop over
+        every view is `views=range(len(ds))`)."""
+        import jax
+
         ds = self.dataset or self._default_dataset()
         edits = edits or {}
+        view_ids = list(views) if views is not None else [0]
         frames = []
         for f in range(num_frames):
             t = f / max(num_frames - 1, 1)
@@ -137,22 +203,79 @@ class MatEditingRunner(_TesterBase):
                         b = np.asarray(v, np.float32)
                         cur[cls][k] = (1 - t) * a + t * b
             params = self.model.edited_params(self.params, cur) if cur else self.params
-            item = ds[0]
-            import jax
-            import jax.numpy as jnp
-
-            out = self.model.forward(
-                params, jnp.asarray(item["cam_to_world"]),
-                jnp.asarray(item["cam_position"]), 2,
-                jax.random.fold_in(self.key, f),
-            )
-            img = np.asarray(out["rgb"])
-            frames.append(img)
-            hdrio.plot_mat(
-                os.path.join(self.exp.plots_dir, f"edit_{f:03d}.hdr"),
-                img, np.asarray(item["color"]),
-            )
+            for v in view_ids:
+                item = ds[v]
+                img = self._render_edit(params, item, jax.random.fold_in(self.key, f))
+                frames.append(img)
+                name = (
+                    f"edit_{f:03d}.hdr" if len(view_ids) == 1
+                    else f"edit_{f:03d}_v{v}.hdr"
+                )
+                hdrio.plot_mat(
+                    os.path.join(self.exp.plots_dir, name),
+                    img, np.asarray(item["color"]),
+                )
         return frames
+
+    def run_keyframes(
+        self,
+        keyframes: Dict[int, Dict[str, Sequence]],
+        frames_per_segment: int = 5,
+        views: Optional[Sequence[int]] = None,
+    ) -> List[np.ndarray]:
+        """Keyframed edit animation (the reference's plot_to_disk_varying,
+        tester/test_editing.py:236-316, with the hard-coded hdrhouse specs
+        replaced by conf-driven tracks — see parse_editing_conf).
+
+        keyframes: {seg_class: {"albedo": [kf, ...], "roughness": [kf, ...]}}.
+        Every track is expanded with `expand_keyframes`; the animation length
+        is the longest track, shorter tracks hold their final value.  All
+        edited properties apply simultaneously per frame."""
+        import jax
+
+        ds = self.dataset or self._default_dataset()
+        view_ids = list(views) if views is not None else list(range(len(ds)))
+        tracks = {
+            cls: {
+                prop: expand_keyframes(kfs, frames_per_segment)
+                for prop, kfs in spec.items() if kfs
+            }
+            for cls, spec in keyframes.items()
+        }
+        n_frames = max(
+            (len(t) for spec in tracks.values() for t in spec.values()),
+            default=0,
+        )
+        frames = []
+        for f in range(n_frames):
+            cur = {
+                cls: {
+                    prop: track[min(f, len(track) - 1)]
+                    for prop, track in spec.items()
+                }
+                for cls, spec in tracks.items()
+            }
+            params = self.model.edited_params(self.params, cur)
+            for v in view_ids:
+                item = ds[v]
+                img = self._render_edit(params, item, jax.random.fold_in(self.key, f))
+                frames.append(img)
+                hdrio.plot_mat(
+                    os.path.join(self.exp.plots_dir, f"edit_{f:03d}_v{v}.hdr"),
+                    img, np.asarray(item["color"]),
+                )
+        return frames
+
+    def run_from_conf(self) -> List[np.ndarray]:
+        """Drive the editing animation from the conf's test.editing block;
+        falls back to an unedited render of every view when absent
+        (the reference's plot_to_disk_cube)."""
+        spec = parse_editing_conf(self.conf)
+        if spec is None:
+            ds = self.dataset or self._default_dataset()
+            return self.run(num_frames=1, views=range(len(ds)))
+        keyframes, views, fps = spec
+        return self.run_keyframes(keyframes, frames_per_segment=fps, views=views)
 
 
 class NovelViewRunner(_TesterBase):
