@@ -100,6 +100,7 @@ class MaterialModel:
         max_mip_level: Optional[int] = None,
         leaf_width: int = 4,
         spmd_mesh=None,
+        atlas_mesh=None,
     ):
         """Args mirror the reference config knobs:
 
@@ -114,6 +115,12 @@ class MaterialModel:
             partial atlas gradients that XLA psums over ICI (the data-parallel
             contract of SURVEY §2.2).  Results are bit-identical to the
             unsharded forward (per-pixel RNG is keyed by global pixel id).
+        atlas_mesh: optional jax.sharding.Mesh with an ATLAS_AXIS axis —
+            tensor parallelism over the material atlases instead: parameters,
+            optimizer state, gradients, and the in-step mip pyramids are
+            row-sharded 1/D per chip (textures beyond one chip's HBM,
+            SURVEY §2.2 third axis), lookups assembled by a psum over ICI
+            (parallel/atlas_tp.py).  Mutually exclusive with spmd_mesh.
         """
         self.cube_res = int(pano_res[1] // 4)
         self.sample_light = tuple(sample_light)
@@ -148,7 +155,10 @@ class MaterialModel:
         import jax as _jax
 
         self.use_pallas = _jax.default_backend() != "cpu"
+        if spmd_mesh is not None and atlas_mesh is not None:
+            raise ValueError("spmd_mesh and atlas_mesh are mutually exclusive")
         self.spmd_mesh = spmd_mesh
+        self.atlas_mesh = atlas_mesh
         # pixel-chunked shading for high-spp evaluation (the reference's
         # split_input at 2000 px, utils/general.py:28-58); None = one shot.
         self.shade_chunk: Optional[int] = None
@@ -310,7 +320,18 @@ class MaterialModel:
         roughness = texture_sample(rgh_pyr, uv, lod_r)
         roughness_womip = bilinear_sample(rough_base, uv)
         irr = texture_sample(self.irt_pyramid, uv, lod_i)
+        return self._stage_shade(
+            albedo, roughness, roughness_womip, irr,
+            normal, position, spec_shift, cam_position, stage,
+        )
 
+    def _stage_shade(
+        self, albedo, roughness, roughness_womip, irr,
+        normal, position, spec_shift, cam_position, stage: int,
+    ):
+        """Stage-dependent shading on already-sampled materials (the part of
+        the reference forward after its dr.texture calls,
+        models/mat_nvdiffrast.py:141-190)."""
         if stage == -1:
             rgb = self._render_flat(
                 normal, jnp.zeros_like(albedo), jnp.full_like(roughness, 0.01),
@@ -376,7 +397,22 @@ class MaterialModel:
             normal.reshape(b, 3), position.reshape(b, 3),
             spec_shift, cam_position,
         )
-        if self.spmd_mesh is None and self.shade_chunk:
+        if self.atlas_mesh is not None:
+            from texir_code_tpu.parallel.atlas_tp import tp_sample_materials
+
+            uv_flat = uv_img.reshape(b, 2)
+            alb, rgh, womip = tp_sample_materials(
+                self.atlas_mesh, params.albedo, params.roughness,
+                uv_flat, lod_a.reshape(b), lod_r.reshape(b),
+                self.max_mip_level,
+            )
+            irr = texture_sample(self.irt_pyramid, uv_flat, lod_i.reshape(b))
+            rgb, albedo, roughness, roughness_womip = self._stage_shade(
+                alb, rgh, womip, irr,
+                normal.reshape(b, 3), position.reshape(b, 3),
+                spec_shift, cam_position, stage,
+            )
+        elif self.spmd_mesh is None and self.shade_chunk:
             from texir_code_tpu.ops.chunking import map_chunked
 
             alb_pyr = tuple(build_mip_pyramid(params.albedo, self.max_mip_level))
