@@ -72,3 +72,26 @@ def test_reference_mat_config_knobs():
     assert conf.get_int("train.mat_epoch") == 40
     assert conf.get_list("models.render.sample_type") == ["uniform", "importance"]
     assert conf.get_list("models.irrf_network.dims") == [512, 512, 512, 512]
+
+
+def test_shipped_conf_set_resolves():
+    """Every conf shipped in configs/ (incl. the reference-parity set,
+    reference configs/*.conf) parses and its dataset/model/loss dotted
+    paths resolve through the alias registry to real classes."""
+    import glob
+    import os
+
+    from texir_code_tpu.registry import get_class
+
+    paths = sorted(
+        glob.glob("configs/*.conf") + glob.glob("configs/reference/*.conf")
+    )
+    assert len(paths) >= 17  # 3 synthetic + 14 reference-parity
+    for path in paths:
+        conf = ConfigFactory.parse_file(path)
+        block = "train" if conf.get("train", default=None) else "test"
+        for key in ["dataset_class", "model_class", "irf_loss_class"]:
+            dotted = conf.get_string(f"{block}.{key}", default=None)
+            assert dotted, f"{path}: missing {block}.{key}"
+            cls = get_class(dotted)
+            assert callable(cls), f"{path}: {dotted} -> {cls}"

@@ -97,6 +97,11 @@ def test_uv_kernel_bake_matches_traversal_bake():
         tbl, spp=64, texel_batch=64, fan_scene=fan, max_leaves=fan.num_leaves
     )
     vr, vc = np.nonzero(geom.valid)
+    # bake() assigns per-texel RNG ids by Morton rank — replicate the order
+    from texir_code_tpu.models.tracer_irt import morton_order
+
+    order = morton_order(geom.position[vr, vc])
+    vr, vc = vr[order], vc[order]
     pts = jnp.asarray(geom.position[vr, vc])
     nrm_a = jnp.asarray(geom.normal[vr, vc])
     out = np.zeros((len(vr), 3), np.float32)
@@ -116,5 +121,5 @@ def test_uv_kernel_bake_matches_traversal_bake():
         out[sl] = np.asarray(
             baker._fan_estimate_uv(hit.t, hit.u, hit.v, dirs, nrm)
         )
-    want = ref[geom.valid]
+    want = ref[vr, vc]
     np.testing.assert_allclose(out, want, rtol=0.02, atol=0.02)

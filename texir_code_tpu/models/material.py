@@ -154,7 +154,11 @@ class MaterialModel:
         # skip-link traversal remains the CPU/test path.
         import jax as _jax
 
-        self.use_pallas = _jax.default_backend() != "cpu"
+        from texir_code_tpu.ops.pallas_fan import force_pallas_dispatch
+
+        self.use_pallas = (
+            _jax.default_backend() != "cpu" or force_pallas_dispatch()
+        )
         if spmd_mesh is not None and atlas_mesh is not None:
             raise ValueError("spmd_mesh and atlas_mesh are mutually exclusive")
         self.spmd_mesh = spmd_mesh
@@ -239,7 +243,10 @@ class MaterialModel:
             d = (dx, dy, dz)
             n = dx.shape[0]
             if self.use_pallas and n % 128 == 0:
-                from texir_code_tpu.ops.pallas_fan import cast_ray_fans_pallas
+                from texir_code_tpu.ops.pallas_fan import (
+                    cast_ray_fans_pallas,
+                    resolve_interpret,
+                )
 
                 r_split = min(2048, n)
                 while n % r_split:
@@ -250,6 +257,7 @@ class MaterialModel:
                     tuple(jnp.broadcast_to(cam[k], (rows,)) for k in range(3)),
                     tuple(a.reshape(rows, r_split) for a in d),
                     t_min=1e-6,
+                    interpret=resolve_interpret(),
                 )
                 return (
                     h.t.reshape(-1), h.prim.reshape(-1),

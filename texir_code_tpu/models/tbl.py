@@ -312,7 +312,10 @@ def query_tbl_stream(
         origins / dirs: 3-tuples of same-shape arrays (any shape whose total
             size is a multiple of 128).
     """
-    from texir_code_tpu.ops.pallas_fan import cast_rays_pallas_stream
+    from texir_code_tpu.ops.pallas_fan import (
+        cast_rays_pallas_stream,
+        resolve_interpret,
+    )
 
     shape = origins[0].shape
     total = int(np.prod(shape))
@@ -323,6 +326,7 @@ def query_tbl_stream(
         tuple(o.reshape(rows, r) for o in origins),
         tuple(d.reshape(rows, r) for d in dirs),
         t_min=0.0,
+        interpret=resolve_interpret(),
     )
     out = radiance_from_hit(tbl, hit, t_valid)
     return tuple(x.reshape(shape) for x in out)
@@ -339,10 +343,12 @@ def query_tbl_auto(
     divide by 128), XLA skip-link traversal otherwise."""
     import jax as _jax
 
+    from texir_code_tpu.ops.pallas_fan import force_pallas_dispatch
+
     total = int(np.prod(origins[0].shape))
     if (
         fan_scene is not None
-        and _jax.default_backend() != "cpu"
+        and (_jax.default_backend() != "cpu" or force_pallas_dispatch())
         and total % 128 == 0
     ):
         return query_tbl_stream(tbl, fan_scene, origins, dirs, t_valid)

@@ -176,7 +176,10 @@ def render_gbuffer(
     flat_dirs = dirs.reshape(-1, 3)
     n = flat_dirs.shape[0]
     if fan_scene is not None and n % 128 == 0:
-        from texir_code_tpu.ops.pallas_fan import cast_ray_fans_pallas
+        from texir_code_tpu.ops.pallas_fan import (
+            cast_ray_fans_pallas,
+            resolve_interpret,
+        )
 
         r_split = min(2048, n)
         while n % r_split:
@@ -187,6 +190,7 @@ def render_gbuffer(
             tuple(jnp.broadcast_to(cam_position[k], (rows,)) for k in range(3)),
             tuple(flat_dirs[:, k].reshape(rows, r_split) for k in range(3)),
             t_min=1e-6,
+            interpret=resolve_interpret(),
         )
         from texir_code_tpu.ops.raycast import RayHit
 

@@ -43,6 +43,22 @@ from texir_code_tpu.ops.raycast import RayHit, Vec3s
 _DET_EPS = 1e-12
 _BARY_EPS = 1e-7
 
+# Test hook: when True, dispatch sites (query_tbl_auto, render_gbuffer,
+# MaterialModel) take the Pallas path in interpreter mode even on CPU, so
+# the exact kernel wiring the TPU uses is exercised by the CPU test suite.
+FORCE_INTERPRET = False
+
+
+def resolve_interpret(interpret: bool = False) -> bool:
+    """interpret flag for a pallas_call, honoring the FORCE_INTERPRET hook
+    (interpret is a static jit arg, so flipping the hook re-traces)."""
+    return bool(interpret or FORCE_INTERPRET)
+
+
+def force_pallas_dispatch() -> bool:
+    """Should auto-dispatchers prefer the Pallas path regardless of backend?"""
+    return FORCE_INTERPRET
+
 
 def _kernel(origins_ref, dx_ref, dy_ref, dz_ref, rows_ref, prim_rows_ref,
             t_ref, prim_ref, u_ref, v_ref, *, lb: int, t_min: float,
