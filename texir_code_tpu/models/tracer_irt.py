@@ -241,6 +241,12 @@ class IrradianceTextureBaker:
         # azimuth-sorted-table variant, measured); 'azimuth': u2-sorted table.
         self.chunk_mode = "octant"
         self.fan_block = 32
+        # Interpolate the hit's atlas uv inside the culled kernel (rows carry
+        # per-triangle uv coefficients) instead of a post-pass barycentric
+        # uv lerp.  Measured on v5e: the 6-gather uv lerp is a *dependent*
+        # gather chain behind the prim id and costs ~2x the kernel's extra
+        # per-test FMAs — emit_uv wins ~35% end-to-end (PERF.md round 2).
+        self.emit_uv = True
         # RGBE-packed atlas for the uv-emitting kernel path (same precision
         # class as the .hdr files the atlas is loaded from)
         from texir_code_tpu.models.tbl import rgbe_pack
@@ -291,16 +297,20 @@ class IrradianceTextureBaker:
             points[:, k] + self.surface_eps * normals[:, k] for k in range(3)
         )
         rows_o = tuple(tile_rows(a, g) for a in origins)
+        emit_uv = bool(self.emit_uv and self.cluster_scene.has_uv)
         hit = cast_fans_culled(
             self.cluster_scene, rows_o, rows_d,
-            emit_uv=False,
+            emit_uv=emit_uv,
             interpret=self.pallas_interpret,
             fan_block=self.fan_block,
         )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
-        part = self._fan_estimate_prim_rgbe(
-            hit.t, hit.prim, hit.u, hit.v, rows_d, rows_n
-        )
+        if emit_uv:
+            part = self._fan_estimate_uv(hit.t, hit.u, hit.v, rows_d, rows_n)
+        else:
+            part = self._fan_estimate_prim_rgbe(
+                hit.t, hit.prim, hit.u, hit.v, rows_d, rows_n
+            )
         t = points.shape[0]
         return part.reshape(g, t, 3).sum(axis=0)
 

@@ -199,7 +199,7 @@ def _culled_kernel(
     t_ref, prim_ref, u_ref, v_ref,
     rows_s, prims_s, sem,
     *, lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
-    fast_recip: bool = True,
+    fast_recip: bool = True, debug_emit_visits: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -338,15 +338,20 @@ def _culled_kernel(
 
     t_ref[:] = t_best
     prim_ref[:] = prim
-    u_ref[:] = u_best
-    v_ref[:] = v_best
+    if debug_emit_visits:
+        # debug telemetry: u = clusters visited, v = candidate count
+        u_ref[:] = jnp.full(shape, j_end.astype(jnp.float32))
+        v_ref[:] = jnp.full(shape, count.astype(jnp.float32))
+    else:
+        u_ref[:] = u_best
+        v_ref[:] = v_best
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "fan_block", "t_min", "interpret", "emit_uv", "per_ray",
-        "debug_no_cull", "debug_no_exit", "fast_recip",
+        "debug_no_cull", "debug_no_exit", "fast_recip", "debug_emit_visits",
     ),
 )
 def cast_fans_culled(
@@ -361,6 +366,7 @@ def cast_fans_culled(
     debug_no_cull: bool = False,
     debug_no_exit: bool = False,
     fast_recip: Optional[bool] = None,
+    debug_emit_visits: bool = False,
 ) -> RayHit:
     """Closest-hit trace of wedge rows with culled, early-exiting clusters.
 
@@ -425,6 +431,7 @@ def cast_fans_culled(
     kernel = functools.partial(
         _culled_kernel, lb=lb, t_min=t_min, emit_uv=emit_uv,
         per_ray_origins=per_ray, fast_recip=fast_recip,
+        debug_emit_visits=debug_emit_visits,
     )
     out_shape = [
         jax.ShapeDtypeStruct((tp + t_pad, r), jnp.float32),
@@ -483,6 +490,7 @@ def cull_blocks(scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int):
     overlap = jnp.ones((rb, c), jnp.bool_)
     front = jnp.zeros((rb, c), jnp.float32)
     dist2 = jnp.zeros((rb, c), jnp.float32)
+    t_lb = jnp.zeros((rb, c), jnp.float32)
     for k in range(3):
         c_lo = scene.cluster_lo[:, k][None, :]
         c_hi = scene.cluster_hi[:, k][None, :]
@@ -495,13 +503,31 @@ def cull_blocks(scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int):
             jnp.maximum(r_lo * d_lo[k][:, None], r_lo * d_hi[k][:, None]),
             jnp.maximum(r_hi * d_lo[k][:, None], r_hi * d_hi[k][:, None]),
         )
-        gap = jnp.maximum(
-            jnp.maximum(c_lo - bo_hi[k][:, None], bo_lo[k][:, None] - c_hi),
+        # direction-projected t lower bound: a hit at o + t*d with o in the
+        # origin box and d in the cone must close each axis gap with that
+        # axis's best-case direction component — for clusters off to the
+        # side of a narrow wedge this is FAR tighter than the Euclidean
+        # box distance (gap / ~0 → unreachable), so they sort later and the
+        # kernel's occlusion early-exit fires sooner.
+        gap_p = r_lo  # > 0 when the cluster is on the + side
+        gap_m = -r_hi  # > 0 when the cluster is on the - side
+        dp = jnp.maximum(d_hi[k], 0.0)[:, None]
+        dm = jnp.maximum(-d_lo[k], 0.0)[:, None]
+        bound_p = jnp.where(
+            gap_p > 0.0,
+            jnp.where(dp > 1e-12, gap_p / jnp.maximum(dp, 1e-12), jnp.inf),
             0.0,
         )
+        bound_m = jnp.where(
+            gap_m > 0.0,
+            jnp.where(dm > 1e-12, gap_m / jnp.maximum(dm, 1e-12), jnp.inf),
+            0.0,
+        )
+        t_lb = jnp.maximum(t_lb, jnp.maximum(bound_p, bound_m))
+        gap = jnp.maximum(jnp.maximum(gap_p, gap_m), 0.0)
         dist2 += gap * gap
-    ok = overlap & (front >= 0.0)
-    dist = jnp.sqrt(dist2)
+    ok = overlap & (front >= 0.0) & jnp.isfinite(t_lb)
+    dist = jnp.maximum(jnp.sqrt(dist2), t_lb)
     key = jnp.where(ok, dist, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     dist_sorted = jnp.take_along_axis(key, order, axis=1)
