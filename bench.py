@@ -42,11 +42,15 @@ TEXEL_BATCH = 4096
 ATLAS_GEOM_RES = 128
 MEASURE_BATCHES = 3
 WEDGES = 4
+# per-scene kernel shape (swept on TPU, PERF.md round 2): small clusters
+# win everywhere; the big scene prefers smaller fan blocks (tighter
+# per-block max-t for the occlusion early exit)
 FAN_BLOCK = 32
-CLUSTER_ROWS = 32
+CLUSTER_ROWS = 8
 
 
-def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH):
+def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
+                fan_block=FAN_BLOCK, lb=CLUSTER_ROWS):
     """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
@@ -62,14 +66,14 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH):
     fb = build_bvh(syn.mesh.vertices, syn.mesh.faces)
     tbl = build_tbl_from_flat(fb, syn.mesh, syn.hdr_texture)
     fan = FanScene.from_flat(fb, triangle_uvs=syn.mesh.triangle_uvs())
-    clusters = ClusterScene.from_fan(fan, lb=CLUSTER_ROWS)
+    clusters = ClusterScene.from_fan(fan, lb=lb)
     geom = bake_geometry_textures(syn.mesh, ATLAS_GEOM_RES)
 
     baker = ShardedIrradianceBaker(
         tbl, spp=SPP, texel_batch=batch, mesh=make_device_mesh(),
         cluster_scene=clusters, wedges=WEDGES,
     )
-    baker.fan_block = FAN_BLOCK
+    baker.fan_block = fan_block
 
     vr, vc = np.nonzero(geom.valid)
     from texir_code_tpu.models.tracer_irt import morton_order
@@ -165,7 +169,7 @@ def main():
     mrays, tris = _bake_scene(apt)
 
     big = make_building_scene(atlas_res=256, subdiv=28)
-    big_mrays, big_tris = _bake_scene(big, n_meas=2)
+    big_mrays, big_tris = _bake_scene(big, n_meas=2, fan_block=16)
 
     mat_ips = _mat_step(apt)
 

@@ -196,7 +196,13 @@ def test_pallas_dispatch_wiring_matches_cpu(scene, cam):
     try:
         model_pl = build()
         assert model_pl.use_pallas
+        # exact mode: the stream path must be bit-comparable to the CPU
+        # skip-link path (specular_fetch='prefiltered', the TPU default,
+        # is checked for bounded error below)
+        model_pl.specular_fetch = "exact"
         out_pl = model_pl.forward(params, mvp, pos, 2, key)
+        model_pre = build()
+        out_pre = model_pre.forward(params, mvp, pos, 2, key)
     finally:
         pallas_fan.FORCE_INTERPRET = False
 
@@ -205,3 +211,11 @@ def test_pallas_dispatch_wiring_matches_cpu(scene, cam):
             np.asarray(out_pl[k]), np.asarray(out_cpu[k]),
             rtol=1e-4, atol=1e-5, err_msg=k,
         )
+    # prefiltered specular fetch: half-texel-snapped RGBE bilinear — a few
+    # highlight pixels may snap across a texel of this tiny 48^2 test atlas
+    # (max bound), but the image as a whole must be unchanged (mean bound)
+    a = np.asarray(out_pre["rgb"])
+    b = np.asarray(out_cpu["rgb"])
+    scale = max(float(np.abs(b).max()), 1e-6)
+    assert np.abs(a - b).max() / scale < 0.15
+    assert np.abs(a - b).mean() / scale < 0.005

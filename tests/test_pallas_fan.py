@@ -96,6 +96,9 @@ def test_uv_kernel_bake_matches_traversal_bake():
     baker = IrradianceTextureBaker(
         tbl, spp=64, texel_batch=64, fan_scene=fan, max_leaves=fan.num_leaves
     )
+    baker.rgbe_supersample = 0  # exact-bilinear fetch (RGBE-precision check)
+    # (the prefiltered fetch's snapping property is tested deterministically
+    # in test_tbl.py::test_rgbe_prefilter_snaps_bilinear)
     vr, vc = np.nonzero(geom.valid)
     # bake() assigns per-texel RNG ids by Morton rank — replicate the order
     from texir_code_tpu.models.tracer_irt import morton_order

@@ -128,3 +128,39 @@ def test_occlusion():
 
     hit = cast_rays(tbl.bvh, pts, dirs)
     np.testing.assert_allclose(np.asarray(hit.t), [0.3], atol=1e-5)
+
+
+def test_rgbe_prefilter_snaps_bilinear(rng):
+    """nearest_rgbe on a rgbe_prefilter-ed atlas == bilinear_rgbe of the
+    base planes at the SNAPPED (nearest supersample-center) coordinates, up
+    to RGBE re-quantization — the deterministic contract behind the
+    1-gather radiance fetch."""
+    from texir_code_tpu.models.tbl import (
+        bilinear_rgbe,
+        nearest_rgbe,
+        rgbe_pack,
+        rgbe_prefilter,
+    )
+
+    h = w = 16
+    tex = (rng.random((h, w, 3)).astype(np.float32) * 4.0) ** 2.0
+    planes = tuple(jnp.asarray(tex[..., k]) for k in range(3))
+    f = 2
+    pre = rgbe_prefilter(planes, f)
+
+    u = jnp.asarray(rng.random(512).astype(np.float32))
+    v = jnp.asarray(rng.random(512).astype(np.float32))
+    got = nearest_rgbe(pre, u, v)
+
+    # snap uv to the supersample centers nearest_rgbe selects
+    fu = (jnp.clip((u * f * w).astype(jnp.int32), 0, f * w - 1) + 0.5) / (f * w)
+    fv = (jnp.clip((v * f * h).astype(jnp.int32), 0, f * h - 1) + 0.5) / (f * h)
+    want = bilinear_rgbe(rgbe_pack(jnp.asarray(tex)), fu, fv)
+
+    # two RGBE quantizations (base pack before interp vs prefilter re-pack
+    # after interp): each step is maxc/255 with the SHARED exponent, so the
+    # bound scales with the local max channel, not the channel itself
+    maxc = np.maximum.reduce([np.asarray(x) for x in want])
+    for g, wnt in zip(got, want):
+        diff = np.abs(np.asarray(g) - np.asarray(wnt))
+        assert np.all(diff <= 0.02 + 3.0 / 255.0 * np.maximum(maxc, 1e-6))

@@ -141,7 +141,21 @@ class MaterialModel:
         self.tbl_vhl = self.tbl.with_texture(
             vhl_texture(self.tbl.texture, hdr_exposure)
         )
-        self.fan_scene = FanScene.from_flat(flat)
+        # uv-carrying rows: the stream kernel interpolates the hit's atlas
+        # uv so specular radiance is one prefiltered-RGBE gather per ray
+        # (specular_fetch below) instead of an 18-gather dependent chain
+        self.fan_scene = FanScene.from_flat(
+            flat, triangle_uvs=mesh.triangle_uvs()
+        )
+        # 'prefiltered': half-texel-snapped RGBE-quantized bilinear, 1 u32
+        # gather/ray (the fetch is outside the gradient path — radiance is
+        # parameter-independent — so this only adds noise far below the
+        # 16-spp MC variance); 'exact': f32 bilinear via radiance_from_hit.
+        self.specular_fetch = "prefiltered"
+        from texir_code_tpu.models.tbl import rgbe_prefilter
+
+        self._rgbe_pre = rgbe_prefilter(self.tbl.planes, 2)
+        self._rgbe_pre_vhl = rgbe_prefilter(self.tbl_vhl.planes, 2)
         self.irt = jnp.asarray(irt_texture)
         # the IrT atlas is constant during Mat training: build its mip
         # pyramid once here instead of inside every jitted step (the albedo
@@ -526,11 +540,17 @@ class MaterialModel:
         # skip-link traversal on CPU
         from texir_code_tpu.models.tbl import query_tbl_auto
 
+        rgbe_pre = None
+        if self.specular_fetch == "prefiltered":
+            rgbe_pre = (
+                self._rgbe_pre_vhl if tbl is self.tbl_vhl else self._rgbe_pre
+            )
         lighting = query_tbl_auto(
             tbl,
             self.fan_scene if self.use_pallas else None,
             spec_origins,
             tuple(jax.lax.stop_gradient(d) for d in light_dirs),
+            rgbe_pre=rgbe_pre,
         )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh

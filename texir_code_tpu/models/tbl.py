@@ -25,7 +25,7 @@ Conventions copied from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,6 +169,37 @@ def bilinear_rgbe(packed: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return tuple(outs)
 
 
+def rgbe_prefilter(planes, factor: int = 2) -> jnp.ndarray:
+    """Prefiltered RGBE atlas: [f·H, f·W] u32 whose entry (i, j) is the
+    EXACT bilinear value of `planes` at the supersample center
+    ((j+0.5)/fW, (i+0.5)/fH) — so a nearest fetch from it equals a bilinear
+    fetch snapped to the nearest half-texel (error ≤ the bilinear variation
+    over 1/(2f) texel, beneath the RGBE mantissa at f=2; measured numbers in
+    PERF.md round 2).  Cuts the radiance lookup from 4 gathers to 1 — the
+    dominant cost at the measured ~0.13 G elem/s XLA gather rate.
+
+    Args:
+        planes: 3-tuple of [H, W] float planes (TBL.planes layout).
+    """
+    h, w = planes[0].shape
+    fh, fw = factor * h, factor * w
+    u = (jnp.arange(fw, dtype=jnp.float32) + 0.5) / fw
+    v = (jnp.arange(fh, dtype=jnp.float32) + 0.5) / fh
+    uu, vv = jnp.meshgrid(u, v)
+    vals = _bilinear_planes(tuple(planes), uu.reshape(-1), vv.reshape(-1))
+    tex = jnp.stack([x.reshape(fh, fw) for x in vals], axis=-1)
+    return rgbe_pack(tex)
+
+
+def nearest_rgbe(packed: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Nearest HDR fetch from an RGBE atlas (1 u32 gather).  On a
+    rgbe_prefilter-ed atlas this is a half-texel-snapped bilinear fetch."""
+    h, w = packed.shape
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return rgbe_decode(jnp.take(packed.reshape(-1), y * w + x))
+
+
 def _bilinear_planes(
     planes: Tuple[jnp.ndarray, ...], u: jnp.ndarray, v: jnp.ndarray
 ) -> Tuple[jnp.ndarray, ...]:
@@ -301,6 +332,7 @@ def query_tbl_stream(
     origins,
     dirs,
     t_valid: float = 1e-4,
+    rgbe_pre: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """TBL query on the Pallas per-ray leaf-stream kernel.
 
@@ -311,7 +343,13 @@ def query_tbl_stream(
     Args:
         origins / dirs: 3-tuples of same-shape arrays (any shape whose total
             size is a multiple of 128).
+        rgbe_pre: optional rgbe_prefilter-ed atlas.  When given and the fan
+            scene carries uv rows, the kernel interpolates the hit's atlas
+            uv and radiance is ONE u32 gather per ray instead of the
+            18-gather dependent chain of radiance_from_hit (XLA's TPU
+            gather issues ~0.13 G elem/s — see PERF.md round 2).
     """
+    from texir_code_tpu.ops.fan_raycast import FAN_ROW_WIDTH_UV
     from texir_code_tpu.ops.pallas_fan import (
         cast_rays_pallas_stream,
         resolve_interpret,
@@ -321,14 +359,30 @@ def query_tbl_stream(
     total = int(np.prod(shape))
     r = _row_split(total)
     rows = total // r
+    emit_uv = (
+        rgbe_pre is not None and fan_scene.rows.shape[1] >= FAN_ROW_WIDTH_UV
+    )
     hit = cast_rays_pallas_stream(
         fan_scene,
         tuple(o.reshape(rows, r) for o in origins),
         tuple(d.reshape(rows, r) for d in dirs),
         t_min=0.0,
+        emit_uv=emit_uv,
         interpret=resolve_interpret(),
     )
-    out = radiance_from_hit(tbl, hit, t_valid)
+    if emit_uv:
+        valid = jnp.isfinite(hit.t) & (hit.t > t_valid)
+        rr, gg, bb = nearest_rgbe(
+            rgbe_pre, jnp.clip(hit.u, 0.0, 1.0), jnp.clip(hit.v, 0.0, 1.0)
+        )
+        z = jnp.zeros_like(rr)
+        out = (
+            jnp.where(valid, rr, z),
+            jnp.where(valid, gg, z),
+            jnp.where(valid, bb, z),
+        )
+    else:
+        out = radiance_from_hit(tbl, hit, t_valid)
     return tuple(x.reshape(shape) for x in out)
 
 
@@ -338,6 +392,7 @@ def query_tbl_auto(
     origins,
     dirs,
     t_valid: float = 1e-4,
+    rgbe_pre: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dispatch: Pallas stream on TPU (when a FanScene is given and shapes
     divide by 128), XLA skip-link traversal otherwise."""
@@ -351,7 +406,9 @@ def query_tbl_auto(
         and (_jax.default_backend() != "cpu" or force_pallas_dispatch())
         and total % 128 == 0
     ):
-        return query_tbl_stream(tbl, fan_scene, origins, dirs, t_valid)
+        return query_tbl_stream(
+            tbl, fan_scene, origins, dirs, t_valid, rgbe_pre=rgbe_pre
+        )
     return query_tbl_soa(tbl, origins, dirs, t_valid)
 
 

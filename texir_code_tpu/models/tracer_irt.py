@@ -249,10 +249,17 @@ class IrradianceTextureBaker:
         self.emit_uv = True
         # RGBE-packed atlas for the uv-emitting kernel path (same precision
         # class as the .hdr files the atlas is loaded from)
-        from texir_code_tpu.models.tbl import rgbe_pack
+        from texir_code_tpu.models.tbl import rgbe_pack, rgbe_prefilter
         from texir_code_tpu.ops.fan_raycast import FAN_ROW_WIDTH_UV
 
         self._rgbe = rgbe_pack(jnp.stack(tbl.planes, axis=-1))
+        # 2x-supersampled prefiltered atlas: radiance fetch in ONE u32
+        # gather (bilinear snapped to the nearest half-texel) instead of 4.
+        # XLA's TPU gather issues ~0.13 G elem/s regardless of layout or
+        # coherence (scripts/gather_micro*.py), so gather COUNT is the cost;
+        # set rgbe_supersample=0 for the exact-bilinear fetch.
+        self.rgbe_supersample = 2
+        self._rgbe_pre = rgbe_prefilter(tbl.planes, 2)
         self._fan_has_uv = (
             fan_scene is not None
             and fan_scene.rows.shape[1] >= FAN_ROW_WIDTH_UV
@@ -339,13 +346,20 @@ class IrradianceTextureBaker:
     @partial(jax.jit, static_argnames=("self",))
     def _fan_estimate_uv(self, hit_t, uu, vv, dirs, normals_soa):
         """Estimator for the uv-emitting kernel: the hit's atlas uv is
-        already interpolated, radiance is one RGBE bilinear fetch."""
-        from texir_code_tpu.models.tbl import bilinear_rgbe
+        already interpolated, radiance is one RGBE fetch (prefiltered
+        supersampled atlas: 1 gather; rgbe_supersample=0 → exact bilinear:
+        4 gathers)."""
+        from texir_code_tpu.models.tbl import bilinear_rgbe, nearest_rgbe
 
         valid = jnp.isfinite(hit_t) & (hit_t > 1e-4)
-        r, g, b = bilinear_rgbe(
-            self._rgbe, jnp.clip(uu, 0.0, 1.0), jnp.clip(vv, 0.0, 1.0)
-        )
+        if self.rgbe_supersample:
+            r, g, b = nearest_rgbe(
+                self._rgbe_pre, jnp.clip(uu, 0.0, 1.0), jnp.clip(vv, 0.0, 1.0)
+            )
+        else:
+            r, g, b = bilinear_rgbe(
+                self._rgbe, jnp.clip(uu, 0.0, 1.0), jnp.clip(vv, 0.0, 1.0)
+            )
         z = jnp.zeros_like(r)
         lighting = (
             jnp.where(valid, r, z), jnp.where(valid, g, z), jnp.where(valid, b, z),
