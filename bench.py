@@ -44,13 +44,16 @@ MEASURE_BATCHES = 3
 WEDGES = 4
 # per-scene kernel shape (swept on TPU, PERF.md round 2): small clusters
 # win everywhere; the big scene prefers smaller fan blocks (tighter
-# per-block max-t for the occlusion early exit)
+# per-block max-t for the occlusion early exit).  exit_rows=16 (2 exit
+# groups per 32-row fan block) pays ~10% on short candidate lists
+# (apartment); any split loses on long lists (scripts/sweep_exit_rows.py).
 FAN_BLOCK = 32
 CLUSTER_ROWS = 8
+EXIT_ROWS = 16
 
 
 def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
-                fan_block=FAN_BLOCK, lb=CLUSTER_ROWS):
+                fan_block=FAN_BLOCK, lb=CLUSTER_ROWS, exit_rows=EXIT_ROWS):
     """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
@@ -74,6 +77,7 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
         cluster_scene=clusters, wedges=WEDGES,
     )
     baker.fan_block = fan_block
+    baker.exit_rows = exit_rows
 
     vr, vc = np.nonzero(geom.valid)
     from texir_code_tpu.models.tracer_irt import morton_order
@@ -88,19 +92,24 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     pts = np.tile(pts, (reps, 1))[:need]
     nrm = np.tile(nrm, (reps, 1))[:need]
 
-    def run(i):
-        # vary the seed per batch: the axon relay replays identical dispatches
-        sl = slice(i * batch, (i + 1) * batch)
-        ids = jnp.arange(i * batch, (i + 1) * batch, dtype=jnp.int32)
-        return baker.bake_batch(
-            jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids, jnp.int32(7 + i)
+    def run(i0, k):
+        # one lax.map superbatch dispatch over k batches — the production
+        # bake() path; per-dispatch relay overhead is amortized across k.
+        # Inputs vary per call (ids + seed): the axon relay replays
+        # identical dispatches as ~0 ms.
+        sl = slice(i0 * batch, (i0 + k) * batch)
+        ids = jnp.arange(sl.start, sl.stop, dtype=jnp.int32).reshape(k, batch)
+        return baker._sharded_super(
+            jnp.asarray(pts[sl]).reshape(k, batch, 3),
+            jnp.asarray(nrm[sl]).reshape(k, batch, 3),
+            ids, jnp.int32(7 + i0),
         )
 
-    out = run(0)
+    out = run(0, n_meas)  # warmup compile at the measured shape
     jax.block_until_ready(out)
     t0 = time.time()
-    outs = [run(i) for i in range(1, n_meas + 1)]
-    jax.block_until_ready(outs)
+    out = run(1, n_meas)
+    jax.block_until_ready(out)
     dt = time.time() - t0
     return n_meas * batch * SPP / dt / 1e6, syn.mesh.num_faces
 
@@ -169,7 +178,7 @@ def main():
     mrays, tris = _bake_scene(apt)
 
     big = make_building_scene(atlas_res=256, subdiv=28)
-    big_mrays, big_tris = _bake_scene(big, n_meas=2, fan_block=16)
+    big_mrays, big_tris = _bake_scene(big, n_meas=2, fan_block=16, exit_rows=0)
 
     mat_ips = _mat_step(apt)
 

@@ -33,7 +33,7 @@ def main():
     fb = build_bvh(syn.mesh.vertices, syn.mesh.faces)
     tbl = build_tbl_from_flat(fb, syn.mesh, syn.hdr_texture)
     fan = FanScene.from_flat(fb, triangle_uvs=syn.mesh.triangle_uvs())
-    clusters = ClusterScene.from_fan(fan, lb=16)
+    clusters = ClusterScene.from_fan(fan, lb=8)
     geom = bake_geometry_textures(syn.mesh, 128)
 
     vr, vc = np.nonzero(geom.valid)
@@ -50,6 +50,7 @@ def main():
         tbl, spp=SPP, texel_batch=BATCH, cluster_scene=clusters, wedges=4
     )
     baker.fan_block = 32
+    baker.exit_rows = 16
 
     def inputs(i):
         sl = slice(i * BATCH, (i + 1) * BATCH)
@@ -71,8 +72,8 @@ def main():
     @jax.jit
     def mapped(p, n, ids, seed):
         return jax.lax.map(
-            lambda a: baker._bake_culled_impl(*a),
-            (p, n, ids, jnp.full((p.shape[0],), seed, jnp.int32)),
+            lambda a: baker._bake_culled_impl(a[0], a[1], a[2], seed),
+            (p, n, ids),
         )
 
     def minputs(i0):

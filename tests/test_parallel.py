@@ -76,6 +76,32 @@ def test_sharded_culled_bake_matches_single_device(room_tbl):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_superbatch_bake_matches_per_batch(room_tbl):
+    """lax.map superbatch dispatch (batches_per_dispatch>1) is bit-identical
+    to per-batch dispatch — RNG is keyed by global texel id, so batching is
+    a pure dispatch-granularity choice."""
+    from texir_code_tpu.geometry.bvh import build_bvh
+    from texir_code_tpu.ops.fan_raycast import FanScene
+    from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+    scene, tbl = room_tbl
+    fb = build_bvh(scene.mesh.vertices, scene.mesh.faces)
+    fan = FanScene.from_flat(fb, triangle_uvs=scene.mesh.triangle_uvs())
+    cl = ClusterScene.from_fan(fan, lb=8)
+    geom = bake_geometry_textures(scene.mesh, 16)
+    key = jax.random.PRNGKey(9)
+
+    def mk(kd):
+        baker = IrradianceTextureBaker(
+            tbl, spp=128, texel_batch=32, cluster_scene=cl, wedges=4,
+            pallas_interpret=True,
+        )
+        baker.batches_per_dispatch = kd
+        return baker.bake(geom, key)
+
+    np.testing.assert_array_equal(mk(1), mk(4))
+
+
 def _mat_setup(scene, spmd_mesh=None):
     from texir_code_tpu.models.material import MaterialModel, init_material_params
     from texir_code_tpu.ops.gbuffer import cube_mvp

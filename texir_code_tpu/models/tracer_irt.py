@@ -241,6 +241,16 @@ class IrradianceTextureBaker:
         # azimuth-sorted-table variant, measured); 'azimuth': u2-sorted table.
         self.chunk_mode = "octant"
         self.fan_block = 32
+        # rows per independent early-exit group in the culled kernel
+        # (0 = one block-wide exit).  Measured (scripts/sweep_exit_rows.py):
+        # 2 groups/block (+10%) on short candidate lists (apartment fb32 →
+        # exit_rows=16); any split LOSES on long lists (building) because
+        # each group re-streams the shared candidate DMA.  Conservative
+        # default: block-wide.
+        self.exit_rows = 0
+        # texel batches folded into one dispatch (lax.map superbatch);
+        # amortizes the per-dispatch host round trip in full bakes
+        self.batches_per_dispatch = 4
         # Interpolate the hit's atlas uv inside the culled kernel (rows carry
         # per-triangle uv coefficients) instead of a post-pass barycentric
         # uv lerp.  Measured on v5e: the 6-gather uv lerp is a *dependent*
@@ -310,6 +320,7 @@ class IrradianceTextureBaker:
             emit_uv=emit_uv,
             interpret=self.pallas_interpret,
             fan_block=self.fan_block,
+            exit_rows=self.exit_rows,
         )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
         if emit_uv:
@@ -320,6 +331,20 @@ class IrradianceTextureBaker:
             )
         t = points.shape[0]
         return part.reshape(g, t, 3).sum(axis=0)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _bake_superbatch_culled(self, points, normals, texel_ids, seed):
+        """K batches in ONE dispatch: lax.map over the leading axis.
+
+        Shapes [K, B, 3]/[K, B].  Sequential per-batch compute (lax.map is
+        a scan), but a single dispatch: the axon-relay/host round trip and
+        per-call argument upload are paid once per K batches instead of per
+        batch — measured a large win on big scenes (PERF.md round 2).
+        """
+        return jax.lax.map(
+            lambda a: self._bake_culled_impl(a[0], a[1], a[2], seed),
+            (points, normals, texel_ids),
+        )
 
     @partial(jax.jit, static_argnames=("self",))
     def _bake_batch_traversal(self, points, normals, texel_ids, seed):
@@ -501,13 +526,30 @@ class IrradianceTextureBaker:
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         ids = jnp.arange(nb * bs, dtype=jnp.int32)
         out = np.zeros((n + pad, 3), np.float32)
-        for i in range(nb):
-            sl = slice(i * bs, (i + 1) * bs)
-            out[sl] = np.asarray(
-                self.bake_batch(pts[sl], nrm[sl], ids[sl], seed)
-            )
-            if progress and i % 16 == 0:
-                print(f"bake: {i + 1}/{nb} batches")
+        kd = self.batches_per_dispatch
+        use_super = (
+            kd > 1
+            and self.cluster_scene is not None
+            and self._use_device_kernels()
+        )
+        i = 0
+        while i < nb:
+            k = min(kd, nb - i) if use_super else 1
+            sl = slice(i * bs, (i + k) * bs)
+            if k > 1:
+                out[sl] = np.asarray(
+                    self._bake_superbatch_culled(
+                        pts[sl].reshape(k, bs, 3), nrm[sl].reshape(k, bs, 3),
+                        ids[sl].reshape(k, bs), seed,
+                    )
+                ).reshape(k * bs, 3)
+            else:
+                out[sl] = np.asarray(
+                    self.bake_batch(pts[sl], nrm[sl], ids[sl], seed)
+                )
+            i += k
+            if progress and (i // k) % 16 == 0:
+                print(f"bake: {i}/{nb} batches")
         tex = np.zeros((res, res, 3), np.float32)
         tex[vr, vc] = out[:n]
         return tex

@@ -193,19 +193,35 @@ def tile_rows(x: jnp.ndarray, g: int) -> jnp.ndarray:
 
 
 def _culled_kernel(
-    count_ref, cand_ref, dist_ref,
+    count_ref, cand_ref, dist_ref, tcap_ref,
     o_ref, dx_ref, dy_ref, dz_ref,
     rows_hbm, prims_hbm,
     t_ref, prim_ref, u_ref, v_ref,
     rows_s, prims_s, sem,
     *, lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
     fast_recip: bool = True, debug_emit_visits: bool = False,
+    exit_rows: int = 0,
 ):
+    """Candidate walk with occlusion early exit.
+
+    exit_rows: rows per independent exit group.  The candidate list is
+        shared block-wide (culling stays cheap at fan_block granularity)
+        but each `exit_rows`-row group walks it with its OWN while loop and
+        max-t threshold — the block-max exit is gated by the worst ray in
+        the block, and measured visit telemetry shows per-8-row thresholds
+        cut visited clusters ~2.5x on multi-room scenes.  0 = whole block.
+    tcap_ref holds the exit threshold cap (scene diameter + margin).  Any
+        real hit's t is <= the scene diameter, so clusters whose distance
+        bound exceeds it can contain no hit for any ray; without the cap a
+        single all-miss ray (padding, open sky) pins max(t_best)=inf and
+        disables the exit for its whole group.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     count = count_ref[0, 0, 0]
     c_max = cand_ref.shape[-1]
+    t_cap = tcap_ref[0, 0, 0]
 
     def dmas(slot, j):
         cid = cand_ref[0, 0, j]
@@ -218,24 +234,54 @@ def _culled_kernel(
             ),
         )
 
+    dx_all = dx_ref[:]
+    dy_all = dy_ref[:]
+    dz_all = dz_ref[:]
+    tf = dx_all.shape[0]
+    er = exit_rows if exit_rows else tf
+    n_groups = tf // er
+
+    for sg in range(n_groups):
+        _culled_group(
+            pl, sg, er, dmas, count, c_max, dist_ref,
+            dx_all, dy_all, dz_all, o_ref,
+            rows_s, prims_s,
+            t_ref, prim_ref, u_ref, v_ref,
+            lb=lb, t_min=t_min, emit_uv=emit_uv,
+            per_ray_origins=per_ray_origins, fast_recip=fast_recip,
+            debug_emit_visits=debug_emit_visits, t_cap=t_cap,
+        )
+
+
+def _culled_group(
+    pl, sg, er, dmas, count, c_max, dist_ref,
+    dx_all, dy_all, dz_all, o_ref,
+    rows_s, prims_s,
+    t_ref, prim_ref, u_ref, v_ref,
+    *, lb, t_min, emit_uv, per_ray_origins, fast_recip,
+    debug_emit_visits, t_cap,
+):
+    """One exit group's walk over the shared candidate list."""
+    rs = slice(sg * er, (sg + 1) * er)
+
     @pl.when(count > 0)
     def _():
         a, b = dmas(0, 0)
         a.start()
         b.start()
 
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
+    dx = dx_all[rs]
+    dy = dy_all[rs]
+    dz = dz_all[rs]
     if per_ray_origins:
         r = dx.shape[1]
-        ox = o_ref[:, 0:r]
-        oy = o_ref[:, r:2 * r]
-        oz = o_ref[:, 2 * r:3 * r]
+        ox = o_ref[rs, 0:r]
+        oy = o_ref[rs, r:2 * r]
+        oz = o_ref[rs, 2 * r:3 * r]
     else:
-        ox = o_ref[:, 0:1]
-        oy = o_ref[:, 1:2]
-        oz = o_ref[:, 2:3]
+        ox = o_ref[rs, 0:1]
+        oy = o_ref[rs, 1:2]
+        oz = o_ref[rs, 2:3]
 
     shape = dx.shape
     init = (
@@ -249,7 +295,7 @@ def _culled_kernel(
     def cond(carry):
         j, t_best, _, _, _ = carry
         nxt = dist_ref[0, 0, jnp.minimum(j, c_max - 1)]
-        return (j < count) & (nxt < jnp.max(t_best))
+        return (j < count) & (nxt < jnp.minimum(jnp.max(t_best), t_cap))
 
     def body(carry):
         j, t_best, prim, u_best, v_best = carry
@@ -336,15 +382,15 @@ def _culled_kernel(
         a.wait()
         b.wait()
 
-    t_ref[:] = t_best
-    prim_ref[:] = prim
+    t_ref[rs] = t_best
+    prim_ref[rs] = prim
     if debug_emit_visits:
         # debug telemetry: u = clusters visited, v = candidate count
-        u_ref[:] = jnp.full(shape, j_end.astype(jnp.float32))
-        v_ref[:] = jnp.full(shape, count.astype(jnp.float32))
+        u_ref[rs] = jnp.full(shape, j_end.astype(jnp.float32))
+        v_ref[rs] = jnp.full(shape, count.astype(jnp.float32))
     else:
-        u_ref[:] = u_best
-        v_ref[:] = v_best
+        u_ref[rs] = u_best
+        v_ref[rs] = v_best
 
 
 @functools.partial(
@@ -352,6 +398,7 @@ def _culled_kernel(
     static_argnames=(
         "fan_block", "t_min", "interpret", "emit_uv", "per_ray",
         "debug_no_cull", "debug_no_exit", "fast_recip", "debug_emit_visits",
+        "exit_rows",
     ),
 )
 def cast_fans_culled(
@@ -367,6 +414,7 @@ def cast_fans_culled(
     debug_no_exit: bool = False,
     fast_recip: Optional[bool] = None,
     debug_emit_visits: bool = False,
+    exit_rows: int = 0,
 ) -> RayHit:
     """Closest-hit trace of wedge rows with culled, early-exiting clusters.
 
@@ -428,10 +476,14 @@ def cast_fans_culled(
     grid = ((tp + t_pad) // tf,)
     if fast_recip is None:
         fast_recip = not interpret  # pl.reciprocal is TPU-only
+    er = exit_rows if (exit_rows and tf % exit_rows == 0) else 0
+    # exit threshold cap = scene diameter (+ margin for surface-eps offset
+    # origins): no real hit can be farther, so miss rays can't pin the exit
+    tcap = jnp.reshape(1.05 * scene.diameter.astype(jnp.float32), (1, 1, 1))
     kernel = functools.partial(
         _culled_kernel, lb=lb, t_min=t_min, emit_uv=emit_uv,
         per_ray_origins=per_ray, fast_recip=fast_recip,
-        debug_emit_visits=debug_emit_visits,
+        debug_emit_visits=debug_emit_visits, exit_rows=er,
     )
     out_shape = [
         jax.ShapeDtypeStruct((tp + t_pad, r), jnp.float32),
@@ -448,6 +500,7 @@ def cast_fans_culled(
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tf, o_width), lambda b: (b, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
             pl.BlockSpec(memory_space=pl.ANY),
@@ -461,7 +514,8 @@ def cast_fans_culled(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(count, cand, dist, o_pack, d[0], d[1], d[2], scene.rows3, scene.prims3)
+    )(count, cand, dist, tcap, o_pack, d[0], d[1], d[2],
+      scene.rows3, scene.prims3)
 
     return RayHit(t=t[:tp], prim=prim[:tp], u=u[:tp], v=v[:tp])
 

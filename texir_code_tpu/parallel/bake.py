@@ -95,6 +95,28 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
             out_specs=PartitionSpec(RAY_AXIS),
             check_vma=False,
         )
+
+        def super_fn(points, normals, texel_ids, seed):
+            # [K, B/n, 3] per device: K batches in one dispatch (lax.map)
+            return jax.lax.map(
+                lambda a: device_fn(a[0], a[1], a[2], seed),
+                (points, normals, texel_ids),
+            )
+
+        self._sharded_super = jax.jit(
+            shard_map(
+                super_fn,
+                mesh=self.mesh,
+                in_specs=(
+                    PartitionSpec(None, RAY_AXIS),
+                    PartitionSpec(None, RAY_AXIS),
+                    PartitionSpec(None, RAY_AXIS),
+                    PartitionSpec(),
+                ),
+                out_specs=PartitionSpec(None, RAY_AXIS),
+                check_vma=False,
+            )
+        )
         return jax.jit(fn)
 
     def bake_batch(self, points, normals, texel_ids, seed):
@@ -130,13 +152,28 @@ class ShardedIrradianceBaker(IrradianceTextureBaker):
         # (texel RNG is keyed by global id, so the split is bit-invariant)
         pidx, pcnt = jax.process_index(), jax.process_count()
         my = process_local_slice(nb, pidx, pcnt)
-        for i in range(my.start, my.stop):
-            sl = slice(i * bs, (i + 1) * bs)
-            out[sl] = np.asarray(
-                self._sharded(jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids[sl], seed)
-            )
-            if progress and i % 16 == 0:
-                print(f"sharded bake: {i + 1}/{nb} batches")
+        kd = self.batches_per_dispatch if self.cluster_scene is not None else 1
+        i = my.start
+        while i < my.stop:
+            k = min(kd, my.stop - i)
+            sl = slice(i * bs, (i + k) * bs)
+            if k > 1:
+                out[sl] = np.asarray(
+                    self._sharded_super(
+                        jnp.asarray(pts[sl]).reshape(k, bs, 3),
+                        jnp.asarray(nrm[sl]).reshape(k, bs, 3),
+                        ids[sl].reshape(k, bs), seed,
+                    )
+                ).reshape(k * bs, 3)
+            else:
+                out[sl] = np.asarray(
+                    self._sharded(
+                        jnp.asarray(pts[sl]), jnp.asarray(nrm[sl]), ids[sl], seed
+                    )
+                )
+            i += k
+            if progress and (i // max(k, 1)) % 16 == 0:
+                print(f"sharded bake: {i}/{nb} batches")
         if pcnt > 1:
             # disjoint batch ranges → summing the gathered copies merges them
             from jax.experimental import multihost_utils
