@@ -87,7 +87,8 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     pts = geom.position[vr, vc]
     nrm = geom.normal[vr, vc]
     n = len(pts)
-    need = batch * (n_meas + 1)
+    repeats = 3
+    need = batch * n_meas * (repeats + 1)
     reps = (need + n - 1) // n
     pts = np.tile(pts, (reps, 1))[:need]
     nrm = np.tile(nrm, (reps, 1))[:need]
@@ -107,10 +108,14 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
 
     out = run(0, n_meas)  # warmup compile at the measured shape
     jax.block_until_ready(out)
-    t0 = time.time()
-    out = run(1, n_meas)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    # best-of-N timing: the tunneled-relay dispatch cost has heavy-tailed
+    # noise (occasional multi-second hiccups); min time = compute capability
+    dt = float("inf")
+    for r in range(repeats):
+        t0 = time.time()
+        out = run((r + 1) * n_meas, n_meas)
+        jax.block_until_ready(out)
+        dt = min(dt, time.time() - t0)
     return n_meas * batch * SPP / dt / 1e6, syn.mesh.num_faces
 
 
@@ -160,12 +165,16 @@ def _mat_step(syn):
     params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(0))
     jax.block_until_ready(loss)
     n = 4
-    t0 = time.time()
-    for i in range(1, n + 1):
-        params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
-    return n / dt
+    best = float("inf")
+    for r in range(3):  # best-of-3 (relay dispatch noise is heavy-tailed)
+        t0 = time.time()
+        for i in range(1, n + 1):
+            params, opt_state, loss = jstep(
+                params, opt_state, jax.random.PRNGKey(4 * r + i)
+            )
+        jax.block_until_ready(loss)
+        best = min(best, time.time() - t0)
+    return n / best
 
 
 def main():

@@ -1,7 +1,7 @@
 """Clean sub-phase profile of the culled bake (run with an IDLE host).
 
 All variants in one process, N=6 varied batches each, same config
-(emit_uv, wedges=4, fan_block=32, lb=16).  Phases are cumulative jits:
+(emit_uv, wedges=4, fan_block=32, lb=8, exit_rows=16).  Phases are cumulative jits:
   dirs       — generate_dir_soa only
   sort       — dirs + octant sort
   prep       — dirs + sort + wedge/tile rows
@@ -49,7 +49,7 @@ def main():
     fb = build_bvh(syn.mesh.vertices, syn.mesh.faces)
     tbl = build_tbl_from_flat(fb, syn.mesh, syn.hdr_texture)
     fan = FanScene.from_flat(fb, triangle_uvs=syn.mesh.triangle_uvs())
-    clusters = ClusterScene.from_fan(fan, lb=16)
+    clusters = ClusterScene.from_fan(fan, lb=8)
     geom = bake_geometry_textures(syn.mesh, 128)
 
     vr, vc = np.nonzero(geom.valid)
@@ -66,6 +66,7 @@ def main():
         tbl, spp=SPP, texel_batch=BATCH, cluster_scene=clusters, wedges=4
     )
     baker.fan_block = 32
+    baker.exit_rows = 16
     G = 4
 
     def inputs(i):
@@ -93,7 +94,7 @@ def main():
     def cast_fn(points, normals, texel_ids, seed):
         rows_o, rows_d = prep_fn(points, normals, texel_ids, seed)
         hit = cast_fans_culled(
-            clusters, rows_o, rows_d, emit_uv=True, fan_block=32
+            clusters, rows_o, rows_d, emit_uv=True, fan_block=32, exit_rows=16
         )
         return hit, rows_d
 
