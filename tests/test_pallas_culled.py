@@ -139,6 +139,35 @@ def test_culled_emit_uv(scene):
     np.testing.assert_allclose(np.asarray(withuv.v)[hitmask], want_v, atol=1e-4)
 
 
+def test_culled_exit_groups_and_emit_prim(scene):
+    """Per-group early exit (shared DMA stream) and the prim-skipping
+    uv path must produce the same hits as the block-wide default."""
+    syn, bvh, fan, clusters = scene
+    origins, normals, dirs = _fan_batch(syn, t=8, s=256, seed=13)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 2) for a in ds)
+    rows_o = tuple(tile_rows(a, 2) for a in origins)
+    base = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, emit_uv=True, fan_block=8
+    )
+    for er in (2, 4):
+        got = cast_fans_culled(
+            clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+            fan_block=8, exit_rows=er,
+        )
+        np.testing.assert_array_equal(base.t, got.t)
+        np.testing.assert_array_equal(base.u, got.u)
+        np.testing.assert_array_equal(base.v, got.v)
+    # emit_uv defaults to emit_prim=False: prim is all -1, hits unchanged
+    assert (np.asarray(base.prim) == -1).all()
+    withprim = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+        fan_block=8, emit_prim=True,
+    )
+    np.testing.assert_array_equal(base.t, withprim.t)
+    assert (np.asarray(withprim.prim)[np.isfinite(np.asarray(base.t))] >= 0).all()
+
+
 def test_culled_per_ray_origins(scene):
     syn, bvh, fan, clusters = scene
     rng = np.random.default_rng(5)

@@ -197,24 +197,41 @@ def _culled_kernel(
     o_ref, dx_ref, dy_ref, dz_ref,
     rows_hbm, prims_hbm,
     t_ref, prim_ref, u_ref, v_ref,
-    rows_s, prims_s, sem,
+    rows_s, prims_s, sem, thr_s,
     *, lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
     fast_recip: bool = True, debug_emit_visits: bool = False,
-    exit_rows: int = 0,
+    exit_rows: int = 0, emit_prim: bool = True,
 ):
-    """Candidate walk with occlusion early exit.
+    """Shared-stream candidate walk with per-group occlusion early exit.
 
-    exit_rows: rows per independent exit group.  The candidate list is
-        shared block-wide (culling stays cheap at fan_block granularity)
-        but each `exit_rows`-row group walks it with its OWN while loop and
-        max-t threshold — the block-max exit is gated by the worst ray in
-        the block, and measured visit telemetry shows per-8-row thresholds
-        cut visited clusters ~2.5x on multi-room scenes.  0 = whole block.
-    tcap_ref holds the exit threshold cap (scene diameter + margin).  Any
-        real hit's t is <= the scene diameter, so clusters whose distance
-        bound exceeds it can contain no hit for any ray; without the cap a
-        single all-miss ray (padding, open sky) pins max(t_best)=inf and
-        disables the exit for its whole group.
+    ONE while loop walks the block's candidate list nearest-first and DMAs
+    each cluster once; the block's rows are split into `exit_rows`-row exit
+    GROUPS whose triangle tests are pl.when-skipped once the next
+    candidate's distance bound exceeds that group's own max-t threshold
+    (0 = one block-wide group).  The block-wide exit is gated by the worst
+    ray in the block; per-group thresholds cut visited clusters ~2.5x on
+    multi-room scenes (visit telemetry, PERF.md round 2).  An earlier form
+    ran one full while loop PER group, which re-streamed every candidate's
+    DMA per group and made fine groups a net loss on long candidate lists;
+    sharing the stream makes the exit granularity free.
+
+    Hit state lives in the output refs (read-modify-write accumulators)
+    rather than loop carries, so a pl.when-skipped group costs nothing.
+    Each group's exit threshold (max over its rays' current t) lives in
+    SMEM (thr_s) and is refreshed only inside the group's own pl.when —
+    cross-lane max reductions are expensive, so an inactive group must not
+    pay for one per iteration.  The loop carry holds a one-iteration-stale
+    snapshot of thr_s for the cond; stale-high is conservative, so the
+    visit set is unchanged (t only decreases).
+
+    tcap_ref holds the exit threshold cap (scene diameter + margin): any
+    real hit's t is <= the scene diameter, so without the cap a single
+    all-miss ray (padding, open sky) would pin its group's max(t_best)=inf
+    and disable the exit.
+
+    emit_prim=False skips the prim-id DMA and the per-triangle prim select
+    entirely — the uv-emitting estimator never reads prim, and dropping it
+    halves the per-candidate DMA traffic.  prim_ref is then all -1.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -223,94 +240,62 @@ def _culled_kernel(
     c_max = cand_ref.shape[-1]
     t_cap = tcap_ref[0, 0, 0]
 
+    tf, r = dx_ref.shape
+    er = exit_rows if exit_rows else tf
+    ng = tf // er
+    slices = [slice(g * er, (g + 1) * er) for g in range(ng)]
+
     def dmas(slot, j):
         cid = cand_ref[0, 0, j]
-        return (
+        cps = [
             pltpu.make_async_copy(
                 rows_hbm.at[cid], rows_s.at[slot], sem.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                prims_hbm.at[cid], prims_s.at[slot], sem.at[slot, 1]
-            ),
-        )
+            )
+        ]
+        if emit_prim:
+            cps.append(
+                pltpu.make_async_copy(
+                    prims_hbm.at[cid], prims_s.at[slot], sem.at[slot, 1]
+                )
+            )
+        return cps
 
-    dx_all = dx_ref[:]
-    dy_all = dy_ref[:]
-    dz_all = dz_ref[:]
-    tf = dx_all.shape[0]
-    er = exit_rows if exit_rows else tf
-    n_groups = tf // er
-
-    for sg in range(n_groups):
-        _culled_group(
-            pl, sg, er, dmas, count, c_max, dist_ref,
-            dx_all, dy_all, dz_all, o_ref,
-            rows_s, prims_s,
-            t_ref, prim_ref, u_ref, v_ref,
-            lb=lb, t_min=t_min, emit_uv=emit_uv,
-            per_ray_origins=per_ray_origins, fast_recip=fast_recip,
-            debug_emit_visits=debug_emit_visits, t_cap=t_cap,
-        )
-
-
-def _culled_group(
-    pl, sg, er, dmas, count, c_max, dist_ref,
-    dx_all, dy_all, dz_all, o_ref,
-    rows_s, prims_s,
-    t_ref, prim_ref, u_ref, v_ref,
-    *, lb, t_min, emit_uv, per_ray_origins, fast_recip,
-    debug_emit_visits, t_cap,
-):
-    """One exit group's walk over the shared candidate list."""
-    rs = slice(sg * er, (sg + 1) * er)
+    # the output refs ARE the hit accumulators
+    t_ref[:] = jnp.full((tf, r), jnp.inf, jnp.float32)
+    prim_ref[:] = jnp.full((tf, r), -1, jnp.int32)
+    u_ref[:] = jnp.zeros((tf, r), jnp.float32)
+    v_ref[:] = jnp.zeros((tf, r), jnp.float32)
+    for g in range(ng):
+        thr_s[g] = jnp.float32(jnp.inf)
 
     @pl.when(count > 0)
     def _():
-        a, b = dmas(0, 0)
-        a.start()
-        b.start()
+        for cp in dmas(0, 0):
+            cp.start()
 
-    dx = dx_all[rs]
-    dy = dy_all[rs]
-    dz = dz_all[rs]
-    if per_ray_origins:
-        r = dx.shape[1]
-        ox = o_ref[rs, 0:r]
-        oy = o_ref[rs, r:2 * r]
-        oz = o_ref[rs, 2 * r:3 * r]
-    else:
-        ox = o_ref[rs, 0:1]
-        oy = o_ref[rs, 1:2]
-        oz = o_ref[rs, 2:3]
-
-    shape = dx.shape
-    init = (
-        jnp.int32(0),
-        jnp.full(shape, jnp.inf, jnp.float32),
-        jnp.full(shape, -1, jnp.int32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-    )
-
-    def cond(carry):
-        j, t_best, _, _, _ = carry
+    def group_active(j, thr):
         nxt = dist_ref[0, 0, jnp.minimum(j, c_max - 1)]
-        return (j < count) & (nxt < jnp.minimum(jnp.max(t_best), t_cap))
+        return nxt < jnp.minimum(thr, t_cap)
 
-    def body(carry):
-        j, t_best, prim, u_best, v_best = carry
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < count)
-        def _():
-            a, b = dmas(jax.lax.rem(j + 1, 2), j + 1)
-            a.start()
-            b.start()
-
-        a, b = dmas(slot, j)
-        a.wait()
-        b.wait()
-
+    def process_group(g, slot):
+        """Test the streamed cluster's lb*4 triangles against rows g."""
+        rs = slices[g]
+        dx = dx_ref[rs]
+        dy = dy_ref[rs]
+        dz = dz_ref[rs]
+        if per_ray_origins:
+            ox = o_ref[rs, 0:r]
+            oy = o_ref[rs, r:2 * r]
+            oz = o_ref[rs, 2 * r:3 * r]
+        else:
+            ox = o_ref[rs, 0:1]
+            oy = o_ref[rs, 1:2]
+            oz = o_ref[rs, 2:3]
+        t_best = t_ref[rs]
+        u_best = u_ref[rs]
+        v_best = v_ref[rs]
+        if emit_prim:
+            prim = prim_ref[rs]
         for jr in range(lb):
             for tri in range(4):
                 base = _TRI_BASE + _TRI_STRIDE * tri
@@ -326,24 +311,22 @@ def _culled_group(
                 s2y = rows_s[slot, jr, base + 9]
                 s2z = rows_s[slot, jr, base + 10]
                 p0s2 = rows_s[slot, jr, base + 11]
-                pk = 4 * jr + tri
-                prim_id = prims_s[slot, pk // _ROW_PAD, pk % _ROW_PAD]
 
                 no = nx * ox + ny * oy + nz * oz
                 ou = s1x * ox + s1y * oy + s1z * oz - p0s1
                 ov = s2x * ox + s2y * oy + s2z * oz - p0s2
 
                 nd = nx * dx + ny * dy + nz * dz
+                # degenerate nd (|nd| <= eps) is rejected by ok_nd below;
+                # inv_nd may be inf/nan there, and nan comparisons are
+                # false, so no select is needed to keep the lanes safe
                 ok_nd = jnp.abs(nd) > _DET_EPS
-                nd_safe = jnp.where(ok_nd, nd, 1.0)
                 if fast_recip:
-                    # approx reciprocal (~12 bits) + one Newton step → f32
-                    inv0 = pl.reciprocal(nd_safe, approx=True)
-                    inv_nd = jnp.where(
-                        ok_nd, inv0 * (2.0 - nd_safe * inv0), 0.0
-                    )
+                    # approx reciprocal (~12 bits) + one Newton step -> f32
+                    inv0 = pl.reciprocal(nd, approx=True)
+                    inv_nd = inv0 * (2.0 - nd * inv0)
                 else:
-                    inv_nd = jnp.where(ok_nd, 1.0 / nd_safe, 0.0)
+                    inv_nd = 1.0 / nd
                 t = (dist - no) * inv_nd
                 du = s1x * dx + s1y * dy + s1z * dz
                 dv = s2x * dx + s2y * dy + s2z * dz
@@ -357,7 +340,10 @@ def _culled_group(
                     & (t < t_best)
                 )
                 t_best = jnp.where(ok, t, t_best)
-                prim = jnp.where(ok, prim_id, prim)
+                if emit_prim:
+                    pk = 4 * jr + tri
+                    prim_id = prims_s[slot, pk // _ROW_PAD, pk % _ROW_PAD]
+                    prim = jnp.where(ok, prim_id, prim)
                 if emit_uv:
                     ub = _UV_BASE + 6 * tri
                     au = (rows_s[slot, jr, ub]
@@ -371,26 +357,71 @@ def _culled_group(
                 else:
                     u_best = jnp.where(ok, uu, u_best)
                     v_best = jnp.where(ok, vv, v_best)
-        return j + 1, t_best, prim, u_best, v_best
-
-    j_end, t_best, prim, u_best, v_best = jax.lax.while_loop(cond, body, init)
-
-    # drain the in-flight prefetch if the loop exited early
-    @pl.when((j_end > 0) & (j_end < count))
-    def _():
-        a, b = dmas(jax.lax.rem(j_end, 2), j_end)
-        a.wait()
-        b.wait()
-
-    t_ref[rs] = t_best
-    prim_ref[rs] = prim
-    if debug_emit_visits:
-        # debug telemetry: u = clusters visited, v = candidate count
-        u_ref[rs] = jnp.full(shape, j_end.astype(jnp.float32))
-        v_ref[rs] = jnp.full(shape, count.astype(jnp.float32))
-    else:
+        t_ref[rs] = t_best
         u_ref[rs] = u_best
         v_ref[rs] = v_best
+        if emit_prim:
+            prim_ref[rs] = prim
+        # refresh this group's exit threshold from the in-register state
+        thr_s[g] = jnp.max(t_best)
+
+    # carry: (j, thr per group, visits per group)
+    init = (
+        (jnp.int32(0),)
+        + (jnp.float32(jnp.inf),) * ng
+        + (jnp.int32(0),) * ng
+    )
+
+    def cond(carry):
+        j = carry[0]
+        act = group_active(j, carry[1])
+        for g in range(1, ng):
+            act |= group_active(j, carry[1 + g])
+        return (j < count) & act
+
+    def body(carry):
+        j = carry[0]
+        thrs = carry[1:1 + ng]
+        vis = carry[1 + ng:]
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < count)
+        def _():
+            for cp in dmas(jax.lax.rem(j + 1, 2), j + 1):
+                cp.start()
+
+        for cp in dmas(slot, j):
+            cp.wait()
+
+        new_vis = []
+        for g in range(ng):
+            act = group_active(j, thrs[g])
+            pl.when(act)(lambda g=g, slot=slot: process_group(g, slot))
+            new_vis.append(vis[g] + act.astype(jnp.int32))
+        # snapshot the SMEM thresholds into the carry for the next cond;
+        # one iteration stale at worst, and stale-high is conservative
+        new_thrs = [thr_s[g] for g in range(ng)]
+        return (j + 1, *new_thrs, *new_vis)
+
+    out = jax.lax.while_loop(cond, body, init)
+    j_end = out[0]
+
+    # drain the in-flight prefetch if the loop exited early (j_end's DMA
+    # was started either by the initial prefetch or by iteration j_end-1)
+    @pl.when((count > 0) & (j_end < count))
+    def _():
+        for cp in dmas(jax.lax.rem(j_end, 2), j_end):
+            cp.wait()
+
+    if debug_emit_visits:
+        # debug telemetry: u = clusters visited (per exit group),
+        # v = candidate count
+        for g in range(ng):
+            rs = slices[g]
+            u_ref[rs] = jnp.full(
+                (er, r), out[1 + ng + g].astype(jnp.float32)
+            )
+            v_ref[rs] = jnp.full((er, r), count.astype(jnp.float32))
 
 
 @functools.partial(
@@ -398,7 +429,7 @@ def _culled_group(
     static_argnames=(
         "fan_block", "t_min", "interpret", "emit_uv", "per_ray",
         "debug_no_cull", "debug_no_exit", "fast_recip", "debug_emit_visits",
-        "exit_rows",
+        "exit_rows", "emit_prim",
     ),
 )
 def cast_fans_culled(
@@ -415,6 +446,7 @@ def cast_fans_culled(
     fast_recip: Optional[bool] = None,
     debug_emit_visits: bool = False,
     exit_rows: int = 0,
+    emit_prim: Optional[bool] = None,
 ) -> RayHit:
     """Closest-hit trace of wedge rows with culled, early-exiting clusters.
 
@@ -477,6 +509,10 @@ def cast_fans_culled(
     if fast_recip is None:
         fast_recip = not interpret  # pl.reciprocal is TPU-only
     er = exit_rows if (exit_rows and tf % exit_rows == 0) else 0
+    if emit_prim is None:
+        # the uv-emitting estimator never reads prim; dropping it halves
+        # the per-candidate DMA traffic
+        emit_prim = not emit_uv
     # exit threshold cap = scene diameter (+ margin for surface-eps offset
     # origins): no real hit can be farther, so miss rays can't pin the exit
     tcap = jnp.reshape(1.05 * scene.diameter.astype(jnp.float32), (1, 1, 1))
@@ -484,6 +520,7 @@ def cast_fans_culled(
         _culled_kernel, lb=lb, t_min=t_min, emit_uv=emit_uv,
         per_ray_origins=per_ray, fast_recip=fast_recip,
         debug_emit_visits=debug_emit_visits, exit_rows=er,
+        emit_prim=emit_prim,
     )
     out_shape = [
         jax.ShapeDtypeStruct((tp + t_pad, r), jnp.float32),
@@ -512,6 +549,7 @@ def cast_fans_culled(
             pltpu.SMEM((2, lb, _ROW_PAD), jnp.float32),
             pltpu.SMEM((2, _PRIM_ROWS, _ROW_PAD), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((tf // er if er else 1,), jnp.float32),
         ],
         interpret=interpret,
     )(count, cand, dist, tcap, o_pack, d[0], d[1], d[2],
