@@ -69,7 +69,7 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     fb = build_bvh(syn.mesh.vertices, syn.mesh.faces)
     tbl = build_tbl_from_flat(fb, syn.mesh, syn.hdr_texture)
     fan = FanScene.from_flat(fb, triangle_uvs=syn.mesh.triangle_uvs())
-    clusters = ClusterScene.from_fan(fan, lb=lb)
+    clusters = ClusterScene.from_fan(fan, lb=lb, dense=True)
     geom = bake_geometry_textures(syn.mesh, ATLAS_GEOM_RES)
 
     baker = ShardedIrradianceBaker(

@@ -49,7 +49,7 @@ def main():
     fb = build_bvh(syn.mesh.vertices, syn.mesh.faces)
     tbl = build_tbl_from_flat(fb, syn.mesh, syn.hdr_texture)
     fan = FanScene.from_flat(fb, triangle_uvs=syn.mesh.triangle_uvs())
-    clusters = ClusterScene.from_fan(fan, lb=8)
+    clusters = ClusterScene.from_fan(fan, lb=8, dense=True)
     geom = bake_geometry_textures(syn.mesh, 128)
 
     vr, vc = np.nonzero(geom.valid)

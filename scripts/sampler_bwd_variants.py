@@ -192,6 +192,21 @@ def main():
     dt = timeit(bwd_sorted, lambda i: (*mk_uv(i), g0))
     print(f"sample bwd sorted+segment_sum: {dt * 1e3:.1f} ms", flush=True)
 
+    # ---- end-to-end Mat step A/B: scatter-add vs segment-sum backward ----
+    import bench
+    from texir_code_tpu.data.synthetic import make_apartment_scene
+    from texir_code_tpu.ops import texture
+
+    apt = make_apartment_scene(atlas_res=256, subdiv=24)
+    ips = bench._mat_step(apt)
+    print(f"mat step scatter-add: {ips:.3f} iters/s", flush=True)
+    texture.SEGSUM_BACKWARD = True
+    try:
+        ips = bench._mat_step(apt)
+    finally:
+        texture.SEGSUM_BACKWARD = False
+    print(f"mat step segment-sum: {ips:.3f} iters/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

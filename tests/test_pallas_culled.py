@@ -235,3 +235,25 @@ def test_cull_candidates_cover_hits(scene):
         assert hit_clusters <= covered, (
             f"fan {f}: clusters {hit_clusters - covered} not candidates"
         )
+
+
+def test_densepack_matches_leaf_aligned(scene):
+    """Dense 4-per-row triangle packing must produce the same hits as
+    leaf-aligned clusters (same DFS triangle order, conservative AABBs)."""
+    syn, bvh, fan, clusters = scene
+    dense = ClusterScene.from_fan(fan, lb=8, dense=True)
+    assert dense.rows3.shape[0] <= clusters.rows3.shape[0]
+    origins, normals, dirs = _fan_batch(syn, t=8, s=256, seed=17)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 2) for a in ds)
+    rows_o = tuple(tile_rows(a, 2) for a in origins)
+    a = cast_fans_culled(clusters, rows_o, rows_d, interpret=True,
+                         emit_uv=True, fan_block=8, exit_rows=4)
+    b = cast_fans_culled(dense, rows_o, rows_d, interpret=True,
+                         emit_uv=True, fan_block=8, exit_rows=4)
+    np.testing.assert_allclose(a.t, b.t, rtol=1e-6, atol=1e-6)
+    hit = np.isfinite(np.asarray(a.t))
+    np.testing.assert_allclose(np.asarray(a.u)[hit], np.asarray(b.u)[hit],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.v)[hit], np.asarray(b.v)[hit],
+                               atol=1e-5)

@@ -179,3 +179,28 @@ def test_finite_difference_gradcheck(rng):
         tm = tex0.copy(); tm[i, j, c] -= eps
         fd = (float(loss(jnp.asarray(tp))) - float(loss(jnp.asarray(tm)))) / (2 * eps)
         np.testing.assert_allclose(g[i, j, c], fd, atol=2e-3)
+
+
+def test_segsum_backward_matches_autodiff(rng):
+    """take_segsum's sorted segment-sum VJP must equal XLA's scatter-add
+    transpose on the full trilinear path (duplicate taps included)."""
+    tex0 = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+    # clustered uvs force duplicate texel indices across samples
+    uv = jnp.asarray(
+        (rng.random((64, 2)) * 0.2 + 0.4).astype(np.float32)
+    )
+    lod = jnp.asarray((rng.random(64) * 3).astype(np.float32))
+    w = jnp.asarray(rng.random((64, 3)).astype(np.float32))
+
+    def loss(t):
+        pyr = texture.build_mip_pyramid(t)
+        return (texture.texture_sample(pyr, uv, lod) * w).sum()
+
+    g_ref = jax.grad(loss)(tex0)
+    texture.SEGSUM_BACKWARD = True
+    try:
+        g_seg = jax.grad(loss)(tex0)
+    finally:
+        texture.SEGSUM_BACKWARD = False
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_seg),
+                               rtol=1e-6, atol=1e-6)

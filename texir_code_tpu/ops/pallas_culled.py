@@ -94,13 +94,24 @@ class ClusterScene:
         return int(self.rows3.shape[0])
 
     @classmethod
-    def from_fan(cls, fan: FanScene, lb: int = 32) -> "ClusterScene":
-        """Re-pack a FanScene's leaf rows into DMA-aligned clusters."""
+    def from_fan(
+        cls, fan: FanScene, lb: int = 32, dense: bool = False
+    ) -> "ClusterScene":
+        """Re-pack a FanScene's leaf rows into DMA-aligned clusters.
+
+        dense=True repacks the triangles 4-per-row ignoring BVH leaf
+        boundaries (DFS order preserved): leaves average ~3.6/4 valid
+        triangles, so leaf-aligned rows waste ~9% of the kernel's tests
+        on padding.  Row AABBs become the union of the contributing
+        leaves' AABBs — conservative, so culling stays exact."""
         rows = getattr(fan, "rows_np", None)
         if rows is None:
             rows = np.asarray(fan.rows)
         l, w = rows.shape
         has_uv = w >= FAN_ROW_WIDTH_UV
+        if dense:
+            rows = _densepack_rows(rows, has_uv)
+            l = rows.shape[0]
         c = (l + lb - 1) // lb
         rows3 = np.zeros((c, lb, _ROW_PAD), np.float32)
         rows3[:, :, :w].reshape(c * lb, w)[:l] = rows
@@ -140,6 +151,47 @@ class ClusterScene:
             lb=lb,
             has_uv=has_uv,
         )
+
+
+def _densepack_rows(rows: np.ndarray, has_uv: bool) -> np.ndarray:
+    """Repack leaf rows' valid triangles densely, 4 per row, DFS order.
+
+    Cols 12:72 are four contiguous stride-15 triangle records and 72:96
+    four 6-float uv records, so the repack is a flat reshape; cols 0:6
+    (row AABB) become the union of each triangle's source-leaf AABB."""
+    l, w = rows.shape
+    prims = rows[:, 8:12].view(np.int32)  # [L, 4]
+    li, ki = np.nonzero(prims >= 0)  # row-major → DFS triangle order
+    n = len(li)
+    l2 = (n + 3) // 4
+    npad = l2 * 4
+
+    tri_cols = (_TRI_BASE + _TRI_STRIDE * ki)[:, None] + np.arange(_TRI_STRIDE)
+    tri_rec = np.zeros((npad, _TRI_STRIDE), np.float32)
+    tri_rec[:n] = rows[li[:, None], tri_cols]
+
+    out = np.zeros((l2, w), np.float32)
+    out[:, _TRI_BASE:_TRI_BASE + 4 * _TRI_STRIDE] = tri_rec.reshape(l2, -1)
+    if has_uv:
+        uv_cols = (_UV_BASE + 6 * ki)[:, None] + np.arange(6)
+        uv_rec = np.zeros((npad, 6), np.float32)
+        uv_rec[:n] = rows[li[:, None], uv_cols]
+        out[:, _UV_BASE:_UV_BASE + 24] = uv_rec.reshape(l2, -1)
+
+    pr = np.full((npad,), -1, np.int32)
+    pr[:n] = prims[li, ki]
+    out[:, 8:12] = pr.reshape(l2, 4).view(np.float32)
+
+    lo = np.full((npad, 3), np.inf, np.float32)
+    hi = np.full((npad, 3), -np.inf, np.float32)
+    lo[:n] = rows[li, 0:3]
+    hi[:n] = rows[li, 3:6]
+    out[:, 0:3] = lo.reshape(l2, 4, 3).min(axis=1)
+    out[:, 3:6] = hi.reshape(l2, 4, 3).max(axis=1)
+    # a fully-padded tail row would carry an infinite AABB; zero it
+    bad = ~np.isfinite(out[:, 0:6]).all(axis=1)
+    out[bad, 0:6] = 0.0
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -197,32 +249,27 @@ def _culled_kernel(
     o_ref, dx_ref, dy_ref, dz_ref,
     rows_hbm, prims_hbm,
     t_ref, prim_ref, u_ref, v_ref,
-    rows_s, prims_s, sem, thr_s,
+    rows_s, prims_s, sem,
     *, lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
     fast_recip: bool = True, debug_emit_visits: bool = False,
     exit_rows: int = 0, emit_prim: bool = True,
 ):
-    """Shared-stream candidate walk with per-group occlusion early exit.
+    """Per-group candidate walks with occlusion early exit.
 
-    ONE while loop walks the block's candidate list nearest-first and DMAs
-    each cluster once; the block's rows are split into `exit_rows`-row exit
-    GROUPS whose triangle tests are pl.when-skipped once the next
-    candidate's distance bound exceeds that group's own max-t threshold
-    (0 = one block-wide group).  The block-wide exit is gated by the worst
-    ray in the block; per-group thresholds cut visited clusters ~2.5x on
-    multi-room scenes (visit telemetry, PERF.md round 2).  An earlier form
-    ran one full while loop PER group, which re-streamed every candidate's
-    DMA per group and made fine groups a net loss on long candidate lists;
-    sharing the stream makes the exit granularity free.
+    The block's rows are split into `exit_rows`-row exit GROUPS (0 = one
+    block-wide group).  Each group has its OWN candidate cluster list,
+    culled at group granularity (cand/dist/count carry a group axis): the
+    16-row origin box + cone is tighter than the 32-row block's, which
+    cuts candidate tests ~12% on top of the tighter exit (the block-wide
+    exit is gated by the worst ray in the block).  Groups run sequentially
+    and reuse the same two DMA slots; each group's exit threshold (max
+    over its rays' current t) is a loop carry refreshed once per visit
+    from the in-register hit state — refreshing it more often (or from
+    the output refs each iteration) costs a cross-lane reduction that
+    measurably dominates at fine granularity.
 
-    Hit state lives in the output refs (read-modify-write accumulators)
-    rather than loop carries, so a pl.when-skipped group costs nothing.
-    Each group's exit threshold (max over its rays' current t) lives in
-    SMEM (thr_s) and is refreshed only inside the group's own pl.when —
-    cross-lane max reductions are expensive, so an inactive group must not
-    pay for one per iteration.  The loop carry holds a one-iteration-stale
-    snapshot of thr_s for the cond; stale-high is conservative, so the
-    visit set is unchanged (t only decreases).
+    Hit state lives in the output refs (read-modify-write accumulators),
+    initialized once for the whole block.
 
     tcap_ref holds the exit threshold cap (scene diameter + margin): any
     real hit's t is <= the scene diameter, so without the cap a single
@@ -236,7 +283,6 @@ def _culled_kernel(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    count = count_ref[0, 0, 0]
     c_max = cand_ref.shape[-1]
     t_cap = tcap_ref[0, 0, 0]
 
@@ -245,8 +291,8 @@ def _culled_kernel(
     ng = tf // er
     slices = [slice(g * er, (g + 1) * er) for g in range(ng)]
 
-    def dmas(slot, j):
-        cid = cand_ref[0, 0, j]
+    def dmas(slot, g, j):
+        cid = cand_ref[0, g, j]
         cps = [
             pltpu.make_async_copy(
                 rows_hbm.at[cid], rows_s.at[slot], sem.at[slot, 0]
@@ -265,17 +311,6 @@ def _culled_kernel(
     prim_ref[:] = jnp.full((tf, r), -1, jnp.int32)
     u_ref[:] = jnp.zeros((tf, r), jnp.float32)
     v_ref[:] = jnp.zeros((tf, r), jnp.float32)
-    for g in range(ng):
-        thr_s[g] = jnp.float32(jnp.inf)
-
-    @pl.when(count > 0)
-    def _():
-        for cp in dmas(0, 0):
-            cp.start()
-
-    def group_active(j, thr):
-        nxt = dist_ref[0, 0, jnp.minimum(j, c_max - 1)]
-        return nxt < jnp.minimum(thr, t_cap)
 
     def process_group(g, slot):
         """Test the streamed cluster's lb*4 triangles against rows g."""
@@ -362,66 +397,51 @@ def _culled_kernel(
         v_ref[rs] = v_best
         if emit_prim:
             prim_ref[rs] = prim
-        # refresh this group's exit threshold from the in-register state
-        thr_s[g] = jnp.max(t_best)
+        # the group's refreshed exit threshold, from the in-register state
+        return jnp.max(t_best)
 
-    # carry: (j, thr per group, visits per group)
-    init = (
-        (jnp.int32(0),)
-        + (jnp.float32(jnp.inf),) * ng
-        + (jnp.int32(0),) * ng
-    )
+    for g in range(ng):
+        count_g = count_ref[0, g, 0]
 
-    def cond(carry):
-        j = carry[0]
-        act = group_active(j, carry[1])
-        for g in range(1, ng):
-            act |= group_active(j, carry[1 + g])
-        return (j < count) & act
-
-    def body(carry):
-        j = carry[0]
-        thrs = carry[1:1 + ng]
-        vis = carry[1 + ng:]
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < count)
-        def _():
-            for cp in dmas(jax.lax.rem(j + 1, 2), j + 1):
+        @pl.when(count_g > 0)
+        def _(g=g):
+            for cp in dmas(0, g, 0):
                 cp.start()
 
-        for cp in dmas(slot, j):
-            cp.wait()
+        def cond(carry, g=g, count_g=count_g):
+            j, thr = carry
+            nxt = dist_ref[0, g, jnp.minimum(j, c_max - 1)]
+            return (j < count_g) & (nxt < jnp.minimum(thr, t_cap))
 
-        new_vis = []
-        for g in range(ng):
-            act = group_active(j, thrs[g])
-            pl.when(act)(lambda g=g, slot=slot: process_group(g, slot))
-            new_vis.append(vis[g] + act.astype(jnp.int32))
-        # snapshot the SMEM thresholds into the carry for the next cond;
-        # one iteration stale at worst, and stale-high is conservative
-        new_thrs = [thr_s[g] for g in range(ng)]
-        return (j + 1, *new_thrs, *new_vis)
+        def body(carry, g=g, count_g=count_g):
+            j, thr = carry
 
-    out = jax.lax.while_loop(cond, body, init)
-    j_end = out[0]
+            @pl.when(j + 1 < count_g)
+            def _():
+                for cp in dmas(jax.lax.rem(j + 1, 2), g, j + 1):
+                    cp.start()
 
-    # drain the in-flight prefetch if the loop exited early (j_end's DMA
-    # was started either by the initial prefetch or by iteration j_end-1)
-    @pl.when((count > 0) & (j_end < count))
-    def _():
-        for cp in dmas(jax.lax.rem(j_end, 2), j_end):
-            cp.wait()
+            for cp in dmas(jax.lax.rem(j, 2), g, j):
+                cp.wait()
+            thr = process_group(g, jax.lax.rem(j, 2))
+            return j + 1, thr
 
-    if debug_emit_visits:
-        # debug telemetry: u = clusters visited (per exit group),
-        # v = candidate count
-        for g in range(ng):
+        j_end, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(jnp.inf))
+        )
+
+        # drain the in-flight prefetch if the loop exited early (j_end's
+        # DMA was started by the initial prefetch or iteration j_end-1)
+        @pl.when((count_g > 0) & (j_end < count_g))
+        def _(g=g, count_g=count_g, j_end=j_end):
+            for cp in dmas(jax.lax.rem(j_end, 2), g, j_end):
+                cp.wait()
+
+        if debug_emit_visits:
+            # debug telemetry: u = clusters visited, v = candidate count
             rs = slices[g]
-            u_ref[rs] = jnp.full(
-                (er, r), out[1 + ng + g].astype(jnp.float32)
-            )
-            v_ref[rs] = jnp.full((er, r), count.astype(jnp.float32))
+            u_ref[rs] = jnp.full((er, r), j_end.astype(jnp.float32))
+            v_ref[rs] = jnp.full((er, r), count_g.astype(jnp.float32))
 
 
 @functools.partial(
@@ -490,25 +510,34 @@ def cast_fans_culled(
         )  # [T', 8]
         cull_o_lo = cull_o_hi = o_rows
 
-    # per-block candidate lists (XLA, dense, cheap relative to the trace)
-    cand, count, dist = cull_blocks(scene, cull_o_lo, cull_o_hi, d, tf)
+    er = exit_rows if (exit_rows and tf % exit_rows == 0) else 0
+    ng = (tf // er) if er else 1
+    rb = (tp + t_pad) // tf
+
+    # per-GROUP candidate lists (XLA, dense, cheap relative to the trace):
+    # culling at exit-group granularity gives each group a tighter origin
+    # box and thus a shorter list to walk than the whole block's
+    cand, count, dist = cull_blocks(
+        scene, cull_o_lo, cull_o_hi, d, er if er else tf
+    )
+    cc = scene.num_clusters
+    cand = cand.reshape(rb, ng, cc)
+    dist = dist.reshape(rb, ng, cc)
+    count = count.reshape(rb, ng, 1)
     if debug_no_cull:
-        rb = (tp + t_pad) // tf
-        cc = scene.num_clusters
         cand = jnp.broadcast_to(
-            jnp.arange(cc, dtype=jnp.int32)[None, None, :], (rb, 1, cc)
+            jnp.arange(cc, dtype=jnp.int32)[None, None, :], (rb, ng, cc)
         )
-        count = jnp.full((rb, 1, 1), cc, jnp.int32)
-        dist = jnp.zeros((rb, 1, cc), jnp.float32)
+        count = jnp.full((rb, ng, 1), cc, jnp.int32)
+        dist = jnp.zeros((rb, ng, cc), jnp.float32)
     elif debug_no_exit:
         dist = jnp.zeros_like(dist)
 
     c = scene.num_clusters
     lb = scene.lb
-    grid = ((tp + t_pad) // tf,)
+    grid = (rb,)
     if fast_recip is None:
         fast_recip = not interpret  # pl.reciprocal is TPU-only
-    er = exit_rows if (exit_rows and tf % exit_rows == 0) else 0
     if emit_prim is None:
         # the uv-emitting estimator never reads prim; dropping it halves
         # the per-candidate DMA traffic
@@ -534,9 +563,9 @@ def cast_fans_culled(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ng, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ng, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ng, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tf, o_width), lambda b: (b, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
@@ -549,7 +578,6 @@ def cast_fans_culled(
             pltpu.SMEM((2, lb, _ROW_PAD), jnp.float32),
             pltpu.SMEM((2, _PRIM_ROWS, _ROW_PAD), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SMEM((tf // er if er else 1,), jnp.float32),
         ],
         interpret=interpret,
     )(count, cand, dist, tcap, o_pack, d[0], d[1], d[2],

@@ -23,6 +23,7 @@ responsible for any vertical flips so that device code never branches.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -33,6 +34,53 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 # index helpers
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_segsum(flat: jnp.ndarray, idx: jnp.ndarray, num_rows: int):
+    """jnp.take(flat, idx, axis=0) with a sorted segment-sum backward.
+
+    XLA's transpose of a gather is a scatter-add, which serializes on
+    duplicate indices; sorting the cotangents by texel id first and
+    accumulating with a sorted segment sum is measurably faster at
+    Mat-step shapes (SURVEY hard-part #2, VERDICT round-1 #8 — see
+    PERF.md round 2 for the numbers).  Numerically identical: both
+    compute the same per-texel sums, floating-point reassociation aside.
+
+    idx gets no gradient (integer); use where uv/lod gradients are not
+    required through the *indices* — weight gradients are unaffected
+    because they flow through the multiply outside the take.
+    """
+    del num_rows
+    return jnp.take(flat, idx, axis=0)
+
+
+def _take_segsum_fwd(flat, idx, num_rows):
+    return jnp.take(flat, idx, axis=0), idx
+
+
+def _take_segsum_bwd(num_rows, idx, g):
+    order = jnp.argsort(idx)
+    grad = jax.ops.segment_sum(
+        jnp.take(g, order, axis=0),
+        jnp.take(idx, order),
+        num_segments=num_rows,
+        indices_are_sorted=True,
+    )
+    return grad, None
+
+
+take_segsum.defvjp(_take_segsum_fwd, _take_segsum_bwd)
+
+# module switch: texture_sample's pyramid fetches use the segment-sum
+# backward when True (toggled from model code / benchmarks)
+SEGSUM_BACKWARD = False
+
+
+def _take_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    if SEGSUM_BACKWARD:
+        return take_segsum(flat, idx, flat.shape[0])
+    return jnp.take(flat, idx, axis=0)
 
 
 def _wrap_index(i: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -274,7 +322,7 @@ def _flat_pyramid_fetch(
 
     def fetch(yy, xx):
         idx = off + yy * wi + xx
-        out = jnp.take(flat, idx.reshape(-1), axis=0)
+        out = _take_rows(flat, idx.reshape(-1))
         return out.reshape(idx.shape + (flat.shape[-1],))
 
     t00 = fetch(ys[0], xs[0])

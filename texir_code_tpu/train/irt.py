@@ -60,13 +60,21 @@ class IrrTextureRunner:
 
         spp = conf.get_list("train.sample_light", default=[2048, 16])[0]
         fan = None
+        clusters = None
         if use_fan:
+            from texir_code_tpu.ops.pallas_culled import ClusterScene
+
             fb = build_bvh(self.mesh.vertices, self.mesh.faces)
             fan = FanScene.from_flat(fb, triangle_uvs=self.mesh.triangle_uvs())
+            # culled wedge kernel (sub-linear in scene size); the fan scene
+            # stays as the CPU/interpret fallback path
+            clusters = ClusterScene.from_fan(fan, lb=8, dense=True)
         self.baker = IrradianceTextureBaker(
             self.tbl, spp=int(spp), texel_batch=4096, fan_scene=fan,
             max_leaves=fan.num_leaves if fan is not None else 768,
+            cluster_scene=clusters, wedges=4,
         )
+        self.baker.exit_rows = 16
         self.texture_res = texture_res
         self._geom = bake_geometry_textures(self.mesh, texture_res)
 
