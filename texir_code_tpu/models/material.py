@@ -147,6 +147,14 @@ class MaterialModel:
         self.fan_scene = FanScene.from_flat(
             flat, triangle_uvs=mesh.triangle_uvs()
         )
+        # culled per-ray kernel for bulk secondary rays: candidate cluster
+        # lists from per-row origin boxes + occlusion early exit (exact,
+        # sub-linear in scene size; ops/pallas_culled.py)
+        from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+        self.cluster_scene = ClusterScene.from_fan(
+            self.fan_scene, lb=8, dense=True
+        )
         # 'prefiltered': half-texel-snapped RGBE-quantized bilinear, 1 u32
         # gather/ray (the fetch is outside the gradient path — radiance is
         # parameter-independent — so this only adds noise far below the
@@ -551,6 +559,7 @@ class MaterialModel:
             spec_origins,
             tuple(jax.lax.stop_gradient(d) for d in light_dirs),
             rgbe_pre=rgbe_pre,
+            cluster_scene=self.cluster_scene if self.use_pallas else None,
         )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh

@@ -333,8 +333,9 @@ def query_tbl_stream(
     dirs,
     t_valid: float = 1e-4,
     rgbe_pre: Optional[jnp.ndarray] = None,
+    cluster_scene=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """TBL query on the Pallas per-ray leaf-stream kernel.
+    """TBL query on the Pallas per-ray kernels.
 
     The fast path for bulk secondary rays (specular MC, live-MC diffuse)
     when a FanScene is available and the backend is TPU; callers fall back
@@ -348,6 +349,11 @@ def query_tbl_stream(
             uv and radiance is ONE u32 gather per ray instead of the
             18-gather dependent chain of radiance_from_hit (XLA's TPU
             gather issues ~0.13 G elem/s — see PERF.md round 2).
+        cluster_scene: optional ops.pallas_culled.ClusterScene.  When given,
+            rays run on the culled per-ray kernel (candidate lists from
+            per-row origin boxes + occlusion early exit) instead of the
+            exhaustive leaf stream — exact, and sub-linear in scene size;
+            rows of raster-consecutive pixels give it tight origin boxes.
     """
     from texir_code_tpu.ops.fan_raycast import FAN_ROW_WIDTH_UV
     from texir_code_tpu.ops.pallas_fan import (
@@ -359,17 +365,32 @@ def query_tbl_stream(
     total = int(np.prod(shape))
     r = _row_split(total)
     rows = total // r
-    emit_uv = (
-        rgbe_pre is not None and fan_scene.rows.shape[1] >= FAN_ROW_WIDTH_UV
-    )
-    hit = cast_rays_pallas_stream(
-        fan_scene,
-        tuple(o.reshape(rows, r) for o in origins),
-        tuple(d.reshape(rows, r) for d in dirs),
-        t_min=0.0,
-        emit_uv=emit_uv,
-        interpret=resolve_interpret(),
-    )
+    if cluster_scene is not None:
+        from texir_code_tpu.ops.pallas_culled import cast_fans_culled
+
+        emit_uv = rgbe_pre is not None and cluster_scene.has_uv
+        hit = cast_fans_culled(
+            cluster_scene,
+            tuple(o.reshape(rows, r) for o in origins),
+            tuple(d.reshape(rows, r) for d in dirs),
+            per_ray=True,
+            fan_block=8,
+            emit_uv=emit_uv,
+            interpret=resolve_interpret(),
+        )
+    else:
+        emit_uv = (
+            rgbe_pre is not None
+            and fan_scene.rows.shape[1] >= FAN_ROW_WIDTH_UV
+        )
+        hit = cast_rays_pallas_stream(
+            fan_scene,
+            tuple(o.reshape(rows, r) for o in origins),
+            tuple(d.reshape(rows, r) for d in dirs),
+            t_min=0.0,
+            emit_uv=emit_uv,
+            interpret=resolve_interpret(),
+        )
     if emit_uv:
         valid = jnp.isfinite(hit.t) & (hit.t > t_valid)
         rr, gg, bb = nearest_rgbe(
@@ -393,9 +414,10 @@ def query_tbl_auto(
     dirs,
     t_valid: float = 1e-4,
     rgbe_pre: Optional[jnp.ndarray] = None,
+    cluster_scene=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dispatch: Pallas stream on TPU (when a FanScene is given and shapes
-    divide by 128), XLA skip-link traversal otherwise."""
+    """Dispatch: Pallas culled/stream kernels on TPU (when a scene is given
+    and shapes divide by 128), XLA skip-link traversal otherwise."""
     import jax as _jax
 
     from texir_code_tpu.ops.pallas_fan import force_pallas_dispatch
@@ -407,7 +429,8 @@ def query_tbl_auto(
         and total % 128 == 0
     ):
         return query_tbl_stream(
-            tbl, fan_scene, origins, dirs, t_valid, rgbe_pre=rgbe_pre
+            tbl, fan_scene, origins, dirs, t_valid, rgbe_pre=rgbe_pre,
+            cluster_scene=cluster_scene,
         )
     return query_tbl_soa(tbl, origins, dirs, t_valid)
 

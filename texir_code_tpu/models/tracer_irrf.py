@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from texir_code_tpu.models.fields import MatNetwork
-from texir_code_tpu.models.tbl import TBL, query_tbl_multi
+from texir_code_tpu.models.tbl import TBL
 from texir_code_tpu.ops.sampling import generate_dir
 from texir_code_tpu.ops.shading import irradiance_estimator
 
@@ -33,6 +33,8 @@ class TracerIRRF:
         tbl: TBL,
         network: Optional[MatNetwork] = None,
         std_jit: float = 5e-2,
+        fan_scene=None,
+        cluster_scene=None,
     ):
         """Args:
             tbl: texture-based-lighting scene (emitter mesh + HDR atlas).
@@ -40,12 +42,18 @@ class TracerIRRF:
                 irrf_network config: PE(10) → 4×512 → 3).
             std_jit: jitter std for the smoothness pair
                 (train.std_jit, reference configs/irrf_hdrhouse.conf).
+            fan_scene / cluster_scene: optional Pallas ray-engine scenes;
+                with them the GT trace runs the culled per-ray kernel on
+                TPU (the skip-link traversal is the CPU/fallback path and
+                is ~50x slower per train step at env_res 32x64).
         """
         self.tbl = tbl
         self.network = network or MatNetwork(
             points_multires=10, dims=(512, 512, 512, 512), p_out_dim=3
         )
         self.std_jit = std_jit
+        self.fan_scene = fan_scene
+        self.cluster_scene = cluster_scene
 
     def init_params(self, key: jax.Array):
         return self.network.init(key, jnp.zeros((1, 3)))
@@ -65,10 +73,22 @@ class TracerIRRF:
             points: [B, 3]; normals: [B, 3].
             resolution: (h, w) direction grid; S = h·w (env_res config).
         """
+        from texir_code_tpu.models.tbl import query_tbl_auto
+
         s = resolution[0] * resolution[1]
+        b = points.shape[0]
         dirs = generate_dir(normals, s, key, mode="uniform")
-        lighting = query_tbl_multi(self.tbl, points, dirs)
-        return irradiance_estimator(lighting, dirs, normals, s)
+        pts = tuple(
+            jnp.broadcast_to(points[:, None, k], (b, s)) for k in range(3)
+        )
+        dd = tuple(dirs[..., k] for k in range(3))
+        lighting = query_tbl_auto(
+            self.tbl, self.fan_scene, pts, dd,
+            cluster_scene=self.cluster_scene,
+        )
+        return irradiance_estimator(
+            jnp.stack(lighting, axis=-1), dirs, normals, s
+        )
 
     def forward(
         self,

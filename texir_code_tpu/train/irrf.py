@@ -73,8 +73,17 @@ class IRRFTrainRunner:
             dims=tuple(net_conf.get_list("dims", default=[512] * 4)),
             p_out_dim=net_conf.get_int("p_out_dim", default=3),
         )
+        from texir_code_tpu.geometry.bvh import build_bvh
+        from texir_code_tpu.ops.fan_raycast import FanScene
+        from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+        flat = build_bvh(mesh.vertices, mesh.faces)
+        fan = FanScene.from_flat(flat, triangle_uvs=mesh.triangle_uvs())
         self.model = TracerIRRF(
-            tbl, network, std_jit=conf.get_float("train.std_jit", default=5e-2)
+            tbl, network,
+            std_jit=conf.get_float("train.std_jit", default=5e-2),
+            fan_scene=fan,
+            cluster_scene=ClusterScene.from_fan(fan, lb=8, dense=True),
         )
 
         self.train_dataset = MeshPoint(
