@@ -153,3 +153,30 @@ def test_mat_plot_to_disk(pipeline_env):
 
     img = hdrio.read_hdr(files[0])
     assert img.shape[0] == 2 * 32  # stacked pred over gt at pano height 32
+
+
+def test_mat_train_indices_exclude_novel_views():
+    """The Mat trainer must not train on views held out in info/novel.txt
+    (they feed evaluate_novel_views — training on them taints the metric)."""
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    class SynDS:
+        ids = ["view000", "view001", "view002"]
+        train_ids = ["view000", "view002"]
+
+        def __len__(self):
+            return 3
+
+    class Stub:
+        dataset = SynDS()
+
+    assert MatTrainRunner._train_indices(Stub()) == [0, 2]
+
+    class PlainDS:
+        def __len__(self):
+            return 2
+
+    class Stub2:
+        dataset = PlainDS()
+
+    assert MatTrainRunner._train_indices(Stub2()) == [0, 1]

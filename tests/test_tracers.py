@@ -183,3 +183,38 @@ def test_fan_bake_matches_traversal_bake():
         tbl, spp=64, texel_batch=64, fan_scene=fan, max_leaves=1024
     ).bake(geom, key)
     np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-4)
+
+
+def test_irrf_trace_gt_culled_matches_traversal(room):
+    """The culled-kernel GT trace (the TPU path, run here in interpret
+    mode via FORCE_INTERPRET) must match the skip-link traversal GT."""
+    from texir_code_tpu.geometry.bvh import build_bvh
+    from texir_code_tpu.ops import pallas_fan
+    from texir_code_tpu.ops.fan_raycast import FanScene
+    from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+    tbl = build_tbl(room.mesh, room.hdr_texture)
+    flat = build_bvh(room.mesh.vertices, room.mesh.faces)
+    fan = FanScene.from_flat(flat, triangle_uvs=room.mesh.triangle_uvs())
+    cl = ClusterScene.from_fan(fan, lb=8, dense=True)
+
+    rng = np.random.default_rng(3)
+    sx, sy, sz = room.size
+    pts = jnp.asarray(np.stack([
+        rng.uniform(0.3, sx - 0.3, 4), rng.uniform(0.3, sy - 0.3, 4),
+        rng.uniform(0.3, sz - 0.3, 4)], axis=-1).astype(np.float32))
+    nrm = rng.standard_normal((4, 3)).astype(np.float32)
+    nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=-1, keepdims=True))
+    key = jax.random.PRNGKey(5)
+
+    ref = TracerIRRF(tbl).trace_gt(pts, nrm, (8, 16), key)
+
+    pallas_fan.FORCE_INTERPRET = True
+    try:
+        got = TracerIRRF(tbl, fan_scene=fan, cluster_scene=cl).trace_gt(
+            pts, nrm, (8, 16), key
+        )
+    finally:
+        pallas_fan.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -196,6 +196,7 @@ class EvalMaterialModel(MaterialModel):
                     jnp.broadcast_to(p[:, None], (bb, diffuse_spp)) for p in pts
                 ),
                 dirs,
+                cluster_scene=self.cluster_scene if self.use_pallas else None,
             )
             irr = jnp.stack(
                 shading.irradiance_estimator_soa(lighting, dirs, n, diffuse_spp),
@@ -219,6 +220,7 @@ class EvalMaterialModel(MaterialModel):
                 self.fan_scene if self.use_pallas else None,
                 tuple(jnp.broadcast_to(p[:, None], (bb, s_spec)) for p in pts),
                 light_dirs,
+                cluster_scene=self.cluster_scene if self.use_pallas else None,
             )
             spec = shading.specular_estimator_soa(
                 spec_light, half, n, view, light_dirs, rgh

@@ -69,6 +69,11 @@ class _HeadBase:
         flat = build_bvh(mesh.vertices, mesh.faces)
         self.tbl = build_tbl_from_flat(flat, mesh, hdr_texture, hdr_exposure)
         self.fan_scene = FanScene.from_flat(flat)
+        from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+        self.cluster_scene = ClusterScene.from_fan(
+            self.fan_scene, lb=8, dense=True
+        )
         import jax as _jax
 
         self.use_pallas = _jax.default_backend() != "cpu"
@@ -102,6 +107,7 @@ class _HeadBase:
             self.fan_scene if self.use_pallas else None,
             tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
             tuple(jax.lax.stop_gradient(d) for d in light_dirs),
+            cluster_scene=self.cluster_scene if self.use_pallas else None,
         )
         spec = shading.specular_estimator_soa(lighting, half, n, view, light_dirs, rgh)
         return jnp.stack(spec, axis=-1) / s_spec

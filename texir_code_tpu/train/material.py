@@ -151,6 +151,18 @@ class MatTrainRunner:
         self.masks: Dict[str, Dict[str, np.ndarray]] = {}
 
     # ------------------------------------------------------------------
+    def _train_indices(self):
+        """Dataset indices used for TRAINING: synthetic datasets hold out
+        the novel views listed in info/novel.txt (reference
+        train_material_invrender_syn.py-style split); every other dataset
+        trains on all views.  The held-out views are still rendered by
+        evaluate_novel_views — training on them would taint that metric."""
+        ds = self.dataset
+        train_ids = getattr(ds, "train_ids", None)
+        if train_ids is None:
+            return list(range(len(ds)))
+        return [i for i, vid in enumerate(ds.ids) if vid in set(train_ids)]
+
     def build_masks(self):
         """First-val pass (reference :245-318): VHL render per view →
         highlight masks; seg ids with eroded floor; room ids."""
@@ -160,7 +172,7 @@ class MatTrainRunner:
 
         from texir_code_tpu.ops.shading import rgb_to_intensity
 
-        for i in range(len(self.dataset)):
+        for i in self._train_indices():
             item = self.dataset[i]
             vid = item["id"]
             out = self.model.forward(
@@ -239,7 +251,7 @@ class MatTrainRunner:
         import jax.numpy as jnp
         import optax
 
-        steps_per_epoch = max(1, len(self.dataset))
+        steps_per_epoch = max(1, len(self._train_indices()))
         schedule = optax.exponential_decay(
             self.lr, transition_steps=self.sched_step * steps_per_epoch,
             decay_rate=self.sched_factor, staircase=True,
@@ -249,7 +261,7 @@ class MatTrainRunner:
         step = self._make_step(stage, optimizer)
 
         for epoch in range(epochs):
-            for i in range(len(self.dataset)):
+            for i in self._train_indices():
                 t0 = time.time()
                 item = self.dataset[i]
                 m = self.masks[item["id"]]
