@@ -82,11 +82,16 @@ def _blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     c = img.shape[-1]
 
     def conv(x, ker, dims):
+        # HIGHEST precision: TPU convs default to bf16, and the SSIM
+        # variance mu_aa - mu_a^2 cancels catastrophically at bf16 — the
+        # collapsed denominator was measured to push SSIM to ~2.0 on real
+        # atlases (mathematically SSIM <= 1)
         return jax.lax.conv_general_dilated(
             x, jnp.tile(ker, (1, 1, 1, c)),
             window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     out = conv(img, kh, None)

@@ -29,6 +29,8 @@ def save_checkpoint(directory: str, step: int, payload: Dict[str, Any]) -> str:
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
+    # orbax rejects relative paths on restore (save absolutizes already)
+    directory = os.path.abspath(directory)
     marker = os.path.join(directory, "LATEST")
     if not os.path.exists(marker):
         steps = sorted(
