@@ -144,7 +144,9 @@ class EvalMaterialModel(MaterialModel):
         from texir_code_tpu.ops.gbuffer import render_gbuffer
 
         g = render_gbuffer(
-            self.device_mesh, tbl.bvh, mvp, cam_position, self.cube_res
+            self.device_mesh, tbl.bvh, mvp, cam_position, self.cube_res,
+            fan_scene=self.fan_scene if self.use_pallas else None,
+            cluster_scene=self.cluster_scene if self.use_pallas else None,
         )
         normal = jax.lax.stop_gradient(g.normal)
         position = jax.lax.stop_gradient(g.position)

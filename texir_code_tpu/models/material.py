@@ -245,6 +245,7 @@ class MaterialModel:
                 self.device_mesh, self.tbl.bvh, mvp, cam_position,
                 self.cube_res,
                 fan_scene=self.fan_scene if self.use_pallas else None,
+                cluster_scene=self.cluster_scene if self.use_pallas else None,
             )
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -265,20 +266,19 @@ class MaterialModel:
             d = (dx, dy, dz)
             n = dx.shape[0]
             if self.use_pallas and n % 128 == 0:
-                from texir_code_tpu.ops.pallas_fan import (
-                    cast_ray_fans_pallas,
-                    resolve_interpret,
-                )
+                from texir_code_tpu.ops.pallas_culled import cast_fans_culled
+                from texir_code_tpu.ops.pallas_fan import resolve_interpret
 
                 r_split = min(2048, n)
                 while n % r_split:
                     r_split -= 128
                 rows = n // r_split
-                h = cast_ray_fans_pallas(
-                    self.fan_scene,
+                h = cast_fans_culled(
+                    self.cluster_scene,
                     tuple(jnp.broadcast_to(cam[k], (rows,)) for k in range(3)),
                     tuple(a.reshape(rows, r_split) for a in d),
                     t_min=1e-6,
+                    fan_block=8,
                     interpret=resolve_interpret(),
                 )
                 return (

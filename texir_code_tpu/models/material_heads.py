@@ -84,6 +84,7 @@ class _HeadBase:
         g = render_gbuffer(
             self.device_mesh, self.tbl.bvh, mvp, cam_position, self.cube_res,
             fan_scene=self.fan_scene if self.use_pallas else None,
+            cluster_scene=self.cluster_scene if self.use_pallas else None,
         )
         normal = jax.lax.stop_gradient(g.normal)
         position = jax.lax.stop_gradient(g.position)

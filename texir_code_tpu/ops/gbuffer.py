@@ -157,6 +157,7 @@ def render_gbuffer(
     cam_position: jnp.ndarray,
     res: int,
     fan_scene=None,
+    cluster_scene=None,
 ) -> GBuffer:
     """Render cube-face G-buffers by primary-ray casting.
 
@@ -170,12 +171,38 @@ def render_gbuffer(
         fan_scene: optional ops.fan_raycast.FanScene — the camera's pixels
             are one big shared-origin ray fan, so when given (and on TPU)
             primary visibility runs on the Pallas fan kernel.
+        cluster_scene: optional ops.pallas_culled.ClusterScene — takes
+            precedence over fan_scene: the culled kernel with shared-origin
+            rows (pixel rows are raster-coherent direction cones, so the
+            candidate lists are tight).
     """
     nfaces = mvp.shape[0]
     dirs = ray_dirs_from_mvp(mvp, cam_position, res)          # [F, r, r, 3]
     flat_dirs = dirs.reshape(-1, 3)
     n = flat_dirs.shape[0]
-    if fan_scene is not None and n % 128 == 0:
+    if cluster_scene is not None and n % 128 == 0:
+        from texir_code_tpu.ops.pallas_culled import cast_fans_culled
+        from texir_code_tpu.ops.pallas_fan import resolve_interpret
+
+        r_split = min(2048, n)
+        while n % r_split:
+            r_split -= 128
+        rows = n // r_split
+        hit = cast_fans_culled(
+            cluster_scene,
+            tuple(jnp.broadcast_to(cam_position[k], (rows,)) for k in range(3)),
+            tuple(flat_dirs[:, k].reshape(rows, r_split) for k in range(3)),
+            t_min=1e-6,
+            fan_block=8,
+            interpret=resolve_interpret(),
+        )
+        from texir_code_tpu.ops.raycast import RayHit
+
+        hit = RayHit(
+            t=hit.t.reshape(-1), prim=hit.prim.reshape(-1),
+            u=hit.u.reshape(-1), v=hit.v.reshape(-1),
+        )
+    elif fan_scene is not None and n % 128 == 0:
         from texir_code_tpu.ops.pallas_fan import (
             cast_ray_fans_pallas,
             resolve_interpret,
