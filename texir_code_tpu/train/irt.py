@@ -68,7 +68,7 @@ class IrrTextureRunner:
             fan = FanScene.from_flat(fb, triangle_uvs=self.mesh.triangle_uvs())
             # culled wedge kernel (sub-linear in scene size); the fan scene
             # stays as the CPU/interpret fallback path
-            clusters = ClusterScene.from_fan(fan, lb=8, dense=True)
+            clusters = ClusterScene.from_fan(fan, lb=4, dense=True)
         self.baker = IrradianceTextureBaker(
             self.tbl, spp=int(spp), texel_batch=4096, fan_scene=fan,
             max_leaves=fan.num_leaves if fan is not None else 768,
