@@ -257,3 +257,77 @@ def test_densepack_matches_leaf_aligned(scene):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.v)[hit], np.asarray(b.v)[hit],
                                atol=1e-5)
+
+
+def test_twopass_matches_single(scene):
+    """Two-pass trace (truncated walk + compacted straggler re-trace) must
+    reproduce the single-pass hits exactly, at any cut."""
+    from texir_code_tpu.ops.pallas_culled import cast_fans_culled_twopass
+
+    syn, bvh, fan, clusters = scene
+    origins, normals, dirs = _fan_batch(syn, t=16, s=512, seed=19)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 4) for a in ds)
+    rows_o = tuple(tile_rows(a, 4) for a in origins)
+    base = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+        fan_block=8, exit_rows=4,
+    )
+    for cut in (0.15, 0.3, 1.2):
+        got = cast_fans_culled_twopass(
+            clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+            fan_block=8, exit_rows=4, cut_frac=cut, cap_frac=0.5,
+        )
+        np.testing.assert_array_equal(base.t, got.t, err_msg=f"cut={cut}")
+        np.testing.assert_array_equal(base.u, got.u, err_msg=f"cut={cut}")
+        np.testing.assert_array_equal(base.v, got.v, err_msg=f"cut={cut}")
+
+
+def test_twopass_overflow_fallback(scene):
+    """A tiny straggler capacity + tiny cut must trip the lax.cond overflow
+    fallback and still return exact hits."""
+    from texir_code_tpu.ops.pallas_culled import cast_fans_culled_twopass
+
+    syn, bvh, fan, clusters = scene
+    origins, normals, dirs = _fan_batch(syn, t=16, s=512, seed=23)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 4) for a in ds)
+    rows_o = tuple(tile_rows(a, 4) for a in origins)
+    base = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, fan_block=8,
+    )
+    got = cast_fans_culled_twopass(
+        clusters, rows_o, rows_d, interpret=True, fan_block=8,
+        cut_frac=0.02, cap_frac=0.01,
+    )
+    np.testing.assert_array_equal(base.t, got.t)
+    np.testing.assert_array_equal(base.prim, got.prim)
+
+
+def test_twopass_baker_bit_identical(scene):
+    """The baker's two_pass_cut config must not change baked irradiance."""
+    from texir_code_tpu.models.tbl import build_tbl_from_flat
+    from texir_code_tpu.models.tracer_irt import IrradianceTextureBaker
+
+    syn, bvh, fan, clusters = scene
+    tbl = build_tbl_from_flat(bvh, syn.mesh, syn.hdr_texture)
+    pts = np.asarray(
+        [[1.0, 1.0, 0.5], [2.0, 1.5, 1.0], [0.7, 0.8, 1.2], [1.5, 2.0, 0.4]],
+        np.float32,
+    )
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (4, 1))
+    ids = jnp.arange(4, dtype=jnp.int32)
+
+    def run(two_pass_cut):
+        baker = IrradianceTextureBaker(
+            tbl, spp=256, texel_batch=4, cluster_scene=clusters, wedges=2,
+            pallas_interpret=True,
+        )
+        baker.two_pass_cut = two_pass_cut
+        return np.asarray(
+            baker._bake_batch_culled(
+                jnp.asarray(pts), jnp.asarray(nrm), ids, jnp.int32(5)
+            )
+        )
+
+    np.testing.assert_array_equal(run(None), run(0.3))

@@ -251,6 +251,14 @@ class IrradianceTextureBaker:
         # texel batches folded into one dispatch (lax.map superbatch);
         # amortizes the per-dispatch host round trip in full bakes
         self.batches_per_dispatch = 4
+        # two-pass trace (ops.pallas_culled.cast_fans_culled_twopass):
+        # truncate the candidate walk at two_pass_cut x scene diameter,
+        # lane-compact the ~2% of rays that provably need far clusters,
+        # re-trace them densely.  Exact; pays ~2x on multi-room scenes
+        # where worst-ray exit gating dominates (scripts/twopass_estimate:
+        # building visit ratio 0.48 at cut=0.3); None = single pass.
+        self.two_pass_cut: Optional[float] = None
+        self.two_pass_cap = 0.125
         # Interpolate the hit's atlas uv inside the culled kernel (rows carry
         # per-triangle uv coefficients) instead of a post-pass barycentric
         # uv lerp.  Measured on v5e: the 6-gather uv lerp is a *dependent*
@@ -315,13 +323,28 @@ class IrradianceTextureBaker:
         )
         rows_o = tuple(tile_rows(a, g) for a in origins)
         emit_uv = bool(self.emit_uv and self.cluster_scene.has_uv)
-        hit = cast_fans_culled(
-            self.cluster_scene, rows_o, rows_d,
-            emit_uv=emit_uv,
-            interpret=self.pallas_interpret,
-            fan_block=self.fan_block,
-            exit_rows=self.exit_rows,
-        )
+        if self.two_pass_cut is not None:
+            from texir_code_tpu.ops.pallas_culled import (
+                cast_fans_culled_twopass,
+            )
+
+            hit = cast_fans_culled_twopass(
+                self.cluster_scene, rows_o, rows_d,
+                emit_uv=emit_uv,
+                interpret=self.pallas_interpret,
+                fan_block=self.fan_block,
+                exit_rows=self.exit_rows,
+                cut_frac=self.two_pass_cut,
+                cap_frac=self.two_pass_cap,
+            )
+        else:
+            hit = cast_fans_culled(
+                self.cluster_scene, rows_o, rows_d,
+                emit_uv=emit_uv,
+                interpret=self.pallas_interpret,
+                fan_block=self.fan_block,
+                exit_rows=self.exit_rows,
+            )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
         if emit_uv:
             part = self._fan_estimate_uv(hit.t, hit.u, hit.v, rows_d, rows_n)

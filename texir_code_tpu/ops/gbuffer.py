@@ -95,20 +95,36 @@ def ray_dirs_from_mvp(
     Unprojects the pixel NDC through inv(mvp) (row-vector convention, see
     module docstring) and takes the direction from the camera position.
 
+    The direction is built WITHOUT inverting the MVP: a world direction d
+    projects to pixel (x, y) iff d·(col0 - x·col3) = 0 and
+    d·(col1 - y·col3) = 0 (cols of the MVP's linear 3x4 block; row-vector
+    convention clip = world·mvp, so homogeneous x = clip0/clip3).  The ray
+    direction is the cross product of those two plane normals, oriented to
+    positive clip w.  The previous formulation — unproject (x, y, 1, 1)
+    through inv(mvp) and dehomogenize — is catastrophically ill-conditioned:
+    w is the cancellation of ~1e4-magnitude inverse entries (near/far ratio
+    conditions the inverse), which cost 3e-3 direction error on CPU and
+    underflowed to w=0 → NaN dirs on TPU.  The cross form is exact linear
+    fp32 (5e-8 vs an f64 oracle) and cheaper.
+
     Args:
         mvp: [F, 4, 4] transposed projection·view matrices.
-        cam_position: [3].
+        cam_position: [3] (unused; kept for call-site compatibility).
         res: face resolution.
     Returns:
         [F, res, res, 3] unit directions.
     """
+    del cam_position
     x, y = pixel_ndc_grid(res)
-    ones = jnp.ones_like(x)
-    clip = jnp.stack([x, y, ones, ones], axis=-1)  # [res, res, 4], z=w=1
-    inv = jnp.linalg.inv(mvp)                      # [F, 4, 4]
-    world = jnp.einsum("hwk,fkl->fhwl", clip, inv)
-    pts = world[..., :3] / world[..., 3:4]
-    d = pts - cam_position[None, None, None, :]
+    a = mvp[:, :3, :]                               # [F, 3(world), 4(clip)]
+    a0 = a[:, None, None, :, 0]
+    a1 = a[:, None, None, :, 1]
+    a3 = a[:, None, None, :, 3]
+    u = a0 - x[None, :, :, None] * a3               # plane of pixel column
+    v = a1 - y[None, :, :, None] * a3               # plane of pixel row
+    d = jnp.cross(u, v)
+    w = jnp.sum(d * a3, axis=-1, keepdims=True)     # clip w of direction
+    d = d * jnp.sign(w)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
