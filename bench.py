@@ -55,7 +55,8 @@ EXIT_ROWS = 16
 
 
 def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
-                fan_block=FAN_BLOCK, lb=CLUSTER_ROWS, exit_rows=EXIT_ROWS):
+                fan_block=FAN_BLOCK, lb=CLUSTER_ROWS, exit_rows=EXIT_ROWS,
+                two_pass_cut=None):
     """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
@@ -80,6 +81,7 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     )
     baker.fan_block = fan_block
     baker.exit_rows = exit_rows
+    baker.two_pass_cut = two_pass_cut
 
     vr, vc = np.nonzero(geom.valid)
     from texir_code_tpu.models.tracer_irt import morton_order
@@ -188,9 +190,12 @@ def main():
     apt = make_apartment_scene(atlas_res=256, subdiv=24)
     mrays, tris = _bake_scene(apt)
 
+    # two-pass trace on the multi-room scene: truncated walk at 0.25x the
+    # scene diameter + compacted straggler re-trace (2.97 -> 4.80 Mrays/s;
+    # the convex apartment LOSES from it, measured — see PERF.md round 3)
     big = make_building_scene(atlas_res=256, subdiv=28)
     big_mrays, big_tris = _bake_scene(
-        big, n_meas=2, fan_block=16, exit_rows=8
+        big, n_meas=2, fan_block=16, exit_rows=8, two_pass_cut=0.25
     )
 
     mat_ips = _mat_step(apt)

@@ -331,3 +331,33 @@ def test_twopass_baker_bit_identical(scene):
         )
 
     np.testing.assert_array_equal(run(None), run(0.3))
+
+
+def test_twopass_per_ray(scene):
+    """Per-ray-origin two-pass (the specular MC layout) must match the
+    single-pass per-ray trace exactly."""
+    from texir_code_tpu.ops.pallas_culled import cast_fans_culled_twopass
+
+    syn, bvh, fan, clusters = scene
+    rng = np.random.default_rng(29)
+    t, r = 16, 128
+    sx, sy, sz = syn.size
+    o = rng.uniform(0.3, 1.0, (3, t, r)).astype(np.float32)
+    o[0] *= sx - 0.6
+    o[1] *= sy - 0.6
+    o[2] *= sz - 0.6
+    d = rng.standard_normal((3, t, r)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    origins = tuple(jnp.asarray(o[k]) for k in range(3))
+    dirs = tuple(jnp.asarray(d[k]) for k in range(3))
+
+    base = cast_fans_culled(
+        clusters, origins, dirs, per_ray=True, interpret=True, fan_block=8,
+    )
+    for cut, cap in ((0.25, 0.5), (0.1, 0.05)):
+        got = cast_fans_culled_twopass(
+            clusters, origins, dirs, per_ray=True, interpret=True,
+            fan_block=8, cut_frac=cut, cap_frac=cap,
+        )
+        np.testing.assert_array_equal(base.t, got.t, err_msg=f"cut={cut}")
+        np.testing.assert_array_equal(base.prim, got.prim)

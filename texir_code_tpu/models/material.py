@@ -160,6 +160,21 @@ class MaterialModel:
         # parameter-independent — so this only adds noise far below the
         # 16-spp MC variance); 'exact': f32 bilinear via radiance_from_hit.
         self.specular_fetch = "prefiltered"
+        # specular trace kernel shape (query_tbl_stream): rows of
+        # row_width/sample_light[1] raster-consecutive pixels; exit_rows
+        # splits each fan_block into independent exit groups with their
+        # own (tighter) candidate lists — swept on TPU, PERF.md round 3
+        self.spec_fan_block = 8
+        self.spec_exit_rows = 0
+        self.spec_row_width = 2048
+        # two-pass specular trace (cast_fans_culled_twopass): truncated
+        # walk + compacted straggler re-trace; None = single pass
+        self.spec_two_pass_cut = None
+        self.spec_two_pass_cap = 0.125
+        # primary-visibility (G-buffer) kernel shape
+        self.gbuf_fan_block = 8
+        self.gbuf_exit_rows = 0
+        self.gbuf_row_width = 2048
         from texir_code_tpu.models.tbl import rgbe_prefilter
 
         self._rgbe_pre = rgbe_prefilter(self.tbl.planes, 2)
@@ -246,6 +261,9 @@ class MaterialModel:
                 self.cube_res,
                 fan_scene=self.fan_scene if self.use_pallas else None,
                 cluster_scene=self.cluster_scene if self.use_pallas else None,
+                fan_block=self.gbuf_fan_block,
+                exit_rows=self.gbuf_exit_rows,
+                row_width=self.gbuf_row_width,
             )
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -560,6 +578,11 @@ class MaterialModel:
             tuple(jax.lax.stop_gradient(d) for d in light_dirs),
             rgbe_pre=rgbe_pre,
             cluster_scene=self.cluster_scene if self.use_pallas else None,
+            fan_block=self.spec_fan_block,
+            exit_rows=self.spec_exit_rows,
+            row_width=self.spec_row_width,
+            two_pass_cut=self.spec_two_pass_cut,
+            two_pass_cap=self.spec_two_pass_cap,
         )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh

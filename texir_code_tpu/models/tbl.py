@@ -334,6 +334,11 @@ def query_tbl_stream(
     t_valid: float = 1e-4,
     rgbe_pre: Optional[jnp.ndarray] = None,
     cluster_scene=None,
+    fan_block: int = 8,
+    exit_rows: int = 0,
+    row_width: int = 2048,
+    two_pass_cut: Optional[float] = None,
+    two_pass_cap: float = 0.125,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """TBL query on the Pallas per-ray kernels.
 
@@ -363,21 +368,40 @@ def query_tbl_stream(
 
     shape = origins[0].shape
     total = int(np.prod(shape))
-    r = _row_split(total)
+    r = _row_split(total, row_width)
     rows = total // r
     if cluster_scene is not None:
         from texir_code_tpu.ops.pallas_culled import cast_fans_culled
 
         emit_uv = rgbe_pre is not None and cluster_scene.has_uv
-        hit = cast_fans_culled(
-            cluster_scene,
-            tuple(o.reshape(rows, r) for o in origins),
-            tuple(d.reshape(rows, r) for d in dirs),
-            per_ray=True,
-            fan_block=8,
-            emit_uv=emit_uv,
-            interpret=resolve_interpret(),
-        )
+        if two_pass_cut is not None:
+            from texir_code_tpu.ops.pallas_culled import (
+                cast_fans_culled_twopass,
+            )
+
+            hit = cast_fans_culled_twopass(
+                cluster_scene,
+                tuple(o.reshape(rows, r) for o in origins),
+                tuple(d.reshape(rows, r) for d in dirs),
+                per_ray=True,
+                fan_block=fan_block,
+                exit_rows=exit_rows,
+                emit_uv=emit_uv,
+                interpret=resolve_interpret(),
+                cut_frac=two_pass_cut,
+                cap_frac=two_pass_cap,
+            )
+        else:
+            hit = cast_fans_culled(
+                cluster_scene,
+                tuple(o.reshape(rows, r) for o in origins),
+                tuple(d.reshape(rows, r) for d in dirs),
+                per_ray=True,
+                fan_block=fan_block,
+                exit_rows=exit_rows,
+                emit_uv=emit_uv,
+                interpret=resolve_interpret(),
+            )
     else:
         emit_uv = (
             rgbe_pre is not None
@@ -415,6 +439,11 @@ def query_tbl_auto(
     t_valid: float = 1e-4,
     rgbe_pre: Optional[jnp.ndarray] = None,
     cluster_scene=None,
+    fan_block: int = 8,
+    exit_rows: int = 0,
+    row_width: int = 2048,
+    two_pass_cut: Optional[float] = None,
+    two_pass_cap: float = 0.125,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dispatch: Pallas culled/stream kernels on TPU (when a scene is given
     and shapes divide by 128), XLA skip-link traversal otherwise."""
@@ -430,7 +459,9 @@ def query_tbl_auto(
     ):
         return query_tbl_stream(
             tbl, fan_scene, origins, dirs, t_valid, rgbe_pre=rgbe_pre,
-            cluster_scene=cluster_scene,
+            cluster_scene=cluster_scene, fan_block=fan_block,
+            exit_rows=exit_rows, row_width=row_width,
+            two_pass_cut=two_pass_cut, two_pass_cap=two_pass_cap,
         )
     return query_tbl_soa(tbl, origins, dirs, t_valid)
 

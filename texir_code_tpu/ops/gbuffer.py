@@ -165,7 +165,8 @@ def interpolate_attributes(
     return position, normal, uv
 
 
-@partial(jax.jit, static_argnames=("res",))
+@partial(jax.jit, static_argnames=("res", "fan_block", "exit_rows",
+                                   "row_width"))
 def render_gbuffer(
     mesh: DeviceMesh,
     bvh: DeviceBVH,
@@ -174,6 +175,9 @@ def render_gbuffer(
     res: int,
     fan_scene=None,
     cluster_scene=None,
+    fan_block: int = 8,
+    exit_rows: int = 0,
+    row_width: int = 2048,
 ) -> GBuffer:
     """Render cube-face G-buffers by primary-ray casting.
 
@@ -200,7 +204,7 @@ def render_gbuffer(
         from texir_code_tpu.ops.pallas_culled import cast_fans_culled
         from texir_code_tpu.ops.pallas_fan import resolve_interpret
 
-        r_split = min(2048, n)
+        r_split = min(row_width, n)
         while n % r_split:
             r_split -= 128
         rows = n // r_split
@@ -209,7 +213,8 @@ def render_gbuffer(
             tuple(jnp.broadcast_to(cam_position[k], (rows,)) for k in range(3)),
             tuple(flat_dirs[:, k].reshape(rows, r_split) for k in range(3)),
             t_min=1e-6,
-            fan_block=8,
+            fan_block=fan_block,
+            exit_rows=exit_rows,
             interpret=resolve_interpret(),
         )
         from texir_code_tpu.ops.raycast import RayHit

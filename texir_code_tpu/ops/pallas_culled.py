@@ -675,7 +675,7 @@ def cull_blocks(scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int):
     jax.jit,
     static_argnames=(
         "t_min", "fan_block", "exit_rows", "emit_uv", "interpret",
-        "cut_frac", "cap_frac",
+        "cut_frac", "cap_frac", "per_ray",
     ),
 )
 def cast_fans_culled_twopass(
@@ -689,6 +689,7 @@ def cast_fans_culled_twopass(
     interpret: bool = False,
     cut_frac: float = 0.3,
     cap_frac: float = 0.125,
+    per_ray: bool = False,
 ) -> RayHit:
     """Exact closest-hit trace in two passes — per-RAY early termination.
 
@@ -717,7 +718,8 @@ def cast_fans_culled_twopass(
     Returns bit-exact closest hits (same contract as cast_fans_culled).
 
     Args:
-        origins: 3x[T] per-row shared origins (the bake layout).
+        origins: 3x[T] per-row shared origins (the bake layout), or
+            3x[T, R] per-ray origins with per_ray=True (specular MC).
         cut_frac: pass-1 walk truncation, fraction of scene diameter.
         cap_frac: straggler row capacity, fraction of T (rounded up to
             whole fan blocks).
@@ -728,17 +730,23 @@ def cast_fans_culled_twopass(
     d = dirs
     o_rows = origins
     if t_pad:
-        o_rows = tuple(jnp.concatenate([a, jnp.zeros(t_pad)]) for a in o_rows)
+        zrow = (t_pad, r) if per_ray else (t_pad,)
+        o_rows = tuple(jnp.concatenate([a, jnp.zeros(zrow)]) for a in o_rows)
         d = tuple(jnp.concatenate([a, jnp.zeros((t_pad, r))]) for a in d)
     tpad = tp + t_pad
     er = exit_rows if (exit_rows and tf % exit_rows == 0) else tf
 
-    cull = cull_blocks(scene, o_rows, o_rows, d, er)
+    if per_ray:
+        o_lo = tuple(jnp.min(a, axis=1) for a in o_rows)
+        o_hi = tuple(jnp.max(a, axis=1) for a in o_rows)
+    else:
+        o_lo = o_hi = o_rows
+    cull = cull_blocks(scene, o_lo, o_hi, d, er)
     _, count, dist = cull
     hit1 = cast_fans_culled(
         scene, o_rows, d, t_min=t_min, fan_block=tf, exit_rows=exit_rows,
         emit_uv=emit_uv, interpret=interpret, t_cap_frac=cut_frac,
-        cull=cull,
+        cull=cull, per_ray=per_ray,
     )
 
     diam = scene.diameter.astype(jnp.float32)
@@ -767,7 +775,10 @@ def cast_fans_culled_twopass(
     overflow = jnp.sum(~final) > cap_rays
 
     d2 = tuple(a.reshape(-1)[sel].reshape(cap_rows, r) for a in d)
-    o2 = tuple(a[sel // r].reshape(cap_rows, r) for a in o_rows)
+    if per_ray:
+        o2 = tuple(a.reshape(-1)[sel].reshape(cap_rows, r) for a in o_rows)
+    else:
+        o2 = tuple(a[sel // r].reshape(cap_rows, r) for a in o_rows)
 
     def two_pass():
         hit2 = cast_fans_culled(
@@ -790,6 +801,7 @@ def cast_fans_culled_twopass(
         h = cast_fans_culled(
             scene, o_rows, d, t_min=t_min, fan_block=tf,
             exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
+            per_ray=per_ray,
         )
         return h.t, h.prim, h.u, h.v
 
