@@ -161,12 +161,16 @@ class MaterialModel:
         # 16-spp MC variance); 'exact': f32 bilinear via radiance_from_hit.
         self.specular_fetch = "prefiltered"
         # specular trace kernel shape (query_tbl_stream): rows of
-        # row_width/sample_light[1] raster-consecutive pixels; exit_rows
-        # splits each fan_block into independent exit groups with their
-        # own (tighter) candidate lists — swept on TPU, PERF.md round 3
+        # row_width/sample_light[1] raster-consecutive pixels; exit_rows=1
+        # gives every row its OWN candidate list and occlusion exit —
+        # specular reflections off a flat surface patch are coherent per
+        # 64-pixel row but wildly incoherent across rows, so per-row
+        # adaptivity beats the block-wide exit 2.87 -> 4.10 iters/s while
+        # er=2/4 LOSE (cross-row gating + re-walk).  Swept on TPU:
+        # rw 256/512/1024/2048 -> 3.43/3.86/4.10/3.70 (PERF.md round 3).
         self.spec_fan_block = 8
-        self.spec_exit_rows = 0
-        self.spec_row_width = 2048
+        self.spec_exit_rows = 1
+        self.spec_row_width = 1024
         # two-pass specular trace (cast_fans_culled_twopass): truncated
         # walk + compacted straggler re-trace; None = single pass
         self.spec_two_pass_cut = None
