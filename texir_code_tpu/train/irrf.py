@@ -138,6 +138,28 @@ class IRRFTrainRunner:
             return params, opt_state, loss
 
         self._train_step = jax.jit(train_step)
+
+        # whole-epoch step: lax.scan over the epoch's batches in ONE
+        # dispatch.  The tunneled-relay round trip (~tens of ms, heavy
+        # tailed) dwarfs each 32k-ray step; at the reference schedule
+        # (4000 epochs x 64 batches) per-batch dispatch costs hours.
+        # Numerically identical to the per-batch loop: same key sequence
+        # (fold_in of the global iter), same scan order.
+        def train_epoch(params, opt_state, points, normals, iter0):
+            def body(carry, inp):
+                p, o = carry
+                pts, nrm, it = inp
+                k = jax.random.fold_in(self.key, it)
+                p, o, loss = train_step(p, o, pts, nrm, k)
+                return (p, o), loss
+
+            its = iter0 + jnp.arange(points.shape[0], dtype=jnp.int32)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (points, normals, its)
+            )
+            return params, opt_state, losses
+
+        self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
         self._val_gt = None
 
     # ------------------------------------------------------------------
@@ -178,25 +200,52 @@ class IRRFTrainRunner:
         import jax
         import jax.numpy as jnp
 
-        cur_iter = 0
+        steps_per_epoch = max(1, len(self.train_dataset) // self.batch_size)
+        cur_iter = self.start_epoch * steps_per_epoch
         for epoch in range(self.start_epoch, self.nepochs + 1):
             self.train_dataset.change_points()  # reference :238
-            for bi, batch in enumerate(self.train_dataset.batches(self.batch_size)):
-                t0 = time.time()
-                k = jax.random.fold_in(self.key, cur_iter)
-                self.params, self.opt_state, loss = self._train_step(
+            # stack the epoch's batches -> ONE scanned dispatch (a ragged
+            # final batch, if any, runs through the per-batch step)
+            pts, nrm, tail = [], [], None
+            for batch in self.train_dataset.batches(self.batch_size):
+                if batch["points"].shape[0] == self.batch_size:
+                    pts.append(batch["points"])
+                    nrm.append(batch["normals"])
+                else:
+                    tail = batch
+            t0 = time.time()
+            self.params, self.opt_state, losses = self._train_epoch(
+                self.params, self.opt_state,
+                jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(nrm)),
+                jnp.int32(cur_iter),
+            )
+            losses = np.asarray(losses)
+            if tail is not None:
+                k = jax.random.fold_in(self.key, cur_iter + len(losses))
+                self.params, self.opt_state, tl = self._train_step(
                     self.params, self.opt_state,
-                    jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]), k,
+                    jnp.asarray(tail["points"]), jnp.asarray(tail["normals"]),
+                    k,
                 )
-                if cur_iter % 50 == 0:
+                losses = np.concatenate([losses, [float(tl)]])
+            dt = (time.time() - t0) / len(losses)
+            for bi in range(len(losses)):
+                it = cur_iter + bi
+                if it % 50 == 0:
                     print(
                         f"{self.expname} [{epoch}] ({bi}): irf_loss = "
-                        f"{float(loss):.6f}, batch cost time: {time.time()-t0:.4f}s"
+                        f"{float(losses[bi]):.6f}, batch cost time: {dt:.4f}s"
                     )
-                    self.writer.add_scalar("irf_loss", float(loss), cur_iter)
-                if cur_iter % self.plot_freq == 0 and cur_iter > 0:
-                    self.validate(epoch)
-                cur_iter += 1
+                    self.writer.add_scalar("irf_loss", float(losses[bi]), it)
+            # validation cadence: once per epoch containing a plot_freq
+            # multiple (the reference validates mid-epoch at the exact iter)
+            if (
+                epoch > self.start_epoch
+                and (cur_iter // self.plot_freq)
+                != ((cur_iter + len(losses)) // self.plot_freq)
+            ):
+                self.validate(epoch)
+            cur_iter += len(losses)
             if epoch % max(self.ckpt_freq // max(1, len(self.train_dataset) // self.batch_size), 1) == 0:
                 ckpt.save_checkpoint(
                     self.exp.checkpoints_dir, epoch,
