@@ -112,27 +112,73 @@ class _PointFieldRunner:
 
         return jax.jit(step)
 
+    def _make_epoch(self):
+        """Whole-epoch lax.scan in one dispatch (see train/irrf.py — the
+        relay round trip dwarfs each 32k-ray step at this schedule);
+        numerically identical key sequence to the per-batch loop."""
+        import jax
+        import jax.numpy as jnp
+
+        step = self._step
+
+        def train_epoch(params, opt_state, points, normals, iter0):
+            def body(carry, inp):
+                p, o = carry
+                pts, nrm, it = inp
+                k = jax.random.fold_in(self.key, it)
+                p, o, loss = step(p, o, pts, nrm, k)
+                return (p, o), loss
+
+            its = iter0 + jnp.arange(points.shape[0], dtype=jnp.int32)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (points, normals, its)
+            )
+            return params, opt_state, losses
+
+        return jax.jit(train_epoch, donate_argnums=(0, 1))
+
     def run(self):
         import jax
         import jax.numpy as jnp
 
+        epoch_fn = self._make_epoch()
         cur_iter = 0
         for epoch in range(self.nepochs):
             self.train_dataset.change_points()
-            for bi, batch in enumerate(self.train_dataset.batches(self.batch_size)):
-                t0 = time.time()
-                k = jax.random.fold_in(self.key, cur_iter)
-                self.params, self.opt_state, loss = self._step(
+            pts, nrm, tail = [], [], None
+            for batch in self.train_dataset.batches(self.batch_size):
+                if batch["points"].shape[0] == self.batch_size:
+                    pts.append(batch["points"])
+                    nrm.append(batch["normals"])
+                else:
+                    tail = batch
+            t0 = time.time()
+            self.params, self.opt_state, losses = epoch_fn(
+                self.params, self.opt_state,
+                jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(nrm)),
+                jnp.int32(cur_iter),
+            )
+            losses = np.asarray(losses)
+            if tail is not None:
+                k = jax.random.fold_in(self.key, cur_iter + len(losses))
+                self.params, self.opt_state, tl = self._step(
                     self.params, self.opt_state,
-                    jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]), k,
+                    jnp.asarray(tail["points"]), jnp.asarray(tail["normals"]),
+                    k,
                 )
-                if cur_iter % 50 == 0:
+                losses = np.concatenate([losses, [float(tl)]])
+            dt = (time.time() - t0) / len(losses)
+            for bi in range(len(losses)):
+                it = cur_iter + bi
+                if it % 50 == 0:
                     print(
                         f"{self.expname} [{epoch}] ({bi}): {self.STAGE}_loss = "
-                        f"{float(loss):.6f}, batch cost time: {time.time()-t0:.4f}s"
+                        f"{float(losses[bi]):.6f}, batch cost time: {dt:.4f}s"
                     )
-                    self.writer.add_scalar(f"{self.STAGE}_loss", float(loss), cur_iter)
-                cur_iter += 1
+                    self.writer.add_scalar(
+                        f"{self.STAGE}_loss", float(losses[bi]), it
+                    )
+            cur_iter += len(losses)
         ckpt.save_checkpoint(
             self.exp.checkpoints_dir, self.nepochs, {"params": self.params}
         )
