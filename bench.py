@@ -164,19 +164,32 @@ def _mat_step(syn):
         p = optax.apply_updates(p, updates)
         return clamp_material_params(p), opt_state, loss
 
-    jstep = jax.jit(step, donate_argnums=(0, 1))
-    opt_state = opt.init(params)
-    params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(0))
-    jax.block_until_ready(loss)
+    # the production dispatch path: the Mat runner lax.scan's a whole
+    # epoch's steps through ONE jitted call (train/material.py::_substage),
+    # amortizing the tunneled relay's heavy-tailed per-dispatch cost.
     n = 4
+
+    def steps(p, opt_state, seed):
+        def body(carry, i):
+            pp, oo = carry
+            pp, oo, loss = step(pp, oo, jax.random.fold_in(jax.random.PRNGKey(0), seed * n + i))
+            return (pp, oo), loss
+
+        (p, opt_state), losses = jax.lax.scan(
+            body, (p, opt_state), jnp.arange(n, dtype=jnp.int32)
+        )
+        return p, opt_state, losses
+
+    jsteps = jax.jit(steps, donate_argnums=(0, 1))
+    opt_state = opt.init(params)
+    params, opt_state, losses = jsteps(params, opt_state, jnp.int32(0))
+    jax.block_until_ready(losses)
     best = float("inf")
-    for r in range(3):  # best-of-3 (relay dispatch noise is heavy-tailed)
+    for r in range(3):  # best-of-3 (relay dispatch noise is heavy-tailed);
+        # the seed input varies per call — identical dispatches replay as ~0
         t0 = time.time()
-        for i in range(1, n + 1):
-            params, opt_state, loss = jstep(
-                params, opt_state, jax.random.PRNGKey(4 * r + i)
-            )
-        jax.block_until_ready(loss)
+        params, opt_state, losses = jsteps(params, opt_state, jnp.int32(r + 1))
+        jax.block_until_ready(losses)
         best = min(best, time.time() - t0)
     return n / best
 

@@ -180,3 +180,60 @@ def test_mat_train_indices_exclude_novel_views():
         dataset = PlainDS()
 
     assert MatTrainRunner._train_indices(Stub2()) == [0, 1]
+
+
+def test_mat_fused_epoch_matches_per_step(pipeline_env):
+    """The scanned whole-epoch dispatch must reproduce the per-view step
+    loop exactly: same fold_in key sequence, same view order, same
+    optimizer state evolution."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    runner = MatTrainRunner(
+        conf, expname="fused", exps_root=exps, albedo_res=16, roughness_res=16
+    )
+    runner.build_masks()
+    # copy before the fused run: the epoch dispatch donates the params
+    init = jax.tree.map(jnp.array, runner.params)
+
+    runner._substage(0, 1, 0)
+    fused = runner.params
+
+    # per-step oracle with the identical key/optimizer sequence
+    indices = runner._train_indices()
+    schedule = optax.exponential_decay(
+        runner.lr, transition_steps=runner.sched_step * len(indices),
+        decay_rate=runner.sched_factor, staircase=True,
+    )
+    opt = optax.adam(schedule)
+    opt_state = opt.init(init)
+    step = jax.jit(runner._make_step(0, opt), static_argnames=("n_rooms",))
+    p = init
+    for t, i in enumerate(indices):
+        item = runner.dataset[i]
+        m = runner.masks[item["id"]]
+        p, opt_state, loss, seg_term = step(
+            p, opt_state,
+            jnp.asarray(item["cam_to_world"]),
+            jnp.asarray(item["cam_position"]),
+            jnp.asarray(item["color"]),
+            jnp.asarray(item["mask"]),
+            jnp.asarray(m["seg_id"]),
+            jnp.asarray(m["highlight"]),
+            jnp.asarray(m["seg_region"]),
+            jnp.asarray(m["room_id"]),
+            m["n_rooms"],
+            jax.random.fold_in(runner.key, t),
+        )
+
+    assert np.abs(np.asarray(fused.albedo) - np.asarray(init.albedo)).max() > 0
+    np.testing.assert_allclose(
+        np.asarray(fused.albedo), np.asarray(p.albedo), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.roughness), np.asarray(p.roughness), atol=1e-5, rtol=1e-5
+    )

@@ -104,7 +104,8 @@ class BaselineHeadRunner:
         )
         self.optimizer = optax.adam(schedule)
         self.opt_state = self.optimizer.init(self.params)
-        self._step = self._make_step()
+        self._raw_step = self._make_step()
+        self._step = jax.jit(self._raw_step)
 
     def _make_step(self):
         import jax
@@ -142,33 +143,64 @@ class BaselineHeadRunner:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step)
+        return step
 
-    def run(self):
+    def _run_epochs(self, idxs, tag: str):
+        """Train `self.nepochs` epochs over views `idxs`, one jitted
+        lax.scan dispatch per epoch (per-view dispatch pays the tunneled
+        relay's heavy-tailed round trip on every small step; the scanned
+        epoch is numerically identical — same fold_in key sequence)."""
         import jax
         import jax.numpy as jnp
 
+        cols = {"mvp": [], "pos": [], "gt": [], "grad": []}
+        for i in idxs:
+            item = self.dataset[i]
+            cols["mvp"].append(item["cam_to_world"])
+            cols["pos"].append(item["cam_position"])
+            cols["gt"].append(item["color"])
+            cols["grad"].append(item["rgb_grad"])
+        xs = tuple(jnp.asarray(np.stack(v)) for v in cols.values())
+        step = self._raw_step
+        base_key = self.key
+
+        def train_epoch(params, opt_state, xs, iter0):
+            def body(carry, inp):
+                p, o = carry
+                (mvp, pos, gt, gg), it = inp
+                k = jax.random.fold_in(base_key, it)
+                p, o, loss = step(
+                    p, o, mvp, pos, gt, gg, it.astype(jnp.float32), k
+                )
+                return (p, o), loss
+
+            its = iter0 + jnp.arange(len(idxs), dtype=jnp.int32)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (xs, its)
+            )
+            return params, opt_state, losses
+
+        epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
+
         cur_iter = 0
         for epoch in range(self.nepochs):
-            for i in range(len(self.dataset)):
-                t0 = time.time()
-                item = self.dataset[i]
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(item["cam_to_world"]),
-                    jnp.asarray(item["cam_position"]),
-                    jnp.asarray(item["color"]),
-                    jnp.asarray(item["rgb_grad"]),
-                    jnp.asarray(float(cur_iter)),
-                    jax.random.fold_in(self.key, cur_iter),
-                )
+            t0 = time.time()
+            self.params, self.opt_state, losses = epoch_fn(
+                self.params, self.opt_state, xs, jnp.int32(cur_iter)
+            )
+            losses = np.asarray(losses)
+            dt = (time.time() - t0) / len(idxs)
+            for bi, i in enumerate(idxs):
                 print(
-                    f"{self.expname} [{epoch}] ({i}/{len(self.dataset)}): "
-                    f"{self.head}_loss = {float(loss):.6f}, "
-                    f"batch cost time : {time.time()-t0:.4f}s"
+                    f"{self.expname} [{epoch}] ({i}/{len(idxs)}): "
+                    f"{tag} = {losses[bi]:.6f}, "
+                    f"batch cost time : {dt:.4f}s"
                 )
-                self.writer.add_scalar(f"{self.head}_loss", float(loss), cur_iter)
-                cur_iter += 1
+                self.writer.add_scalar(tag, float(losses[bi]), cur_iter + bi)
+            cur_iter += len(idxs)
+
+    def run(self):
+        self._run_epochs(list(range(len(self.dataset))), f"{self.head}_loss")
         ckpt.save_checkpoint(
             self.exp.checkpoints_dir, self.nepochs, {"params": self.params}
         )
@@ -274,33 +306,7 @@ class BaselineHeadSynRunner(BaselineHeadRunner):
         return [i for i, vid in enumerate(ds.ids) if vid in train_ids]
 
     def run(self):
-        import jax
-        import jax.numpy as jnp
-
-        idxs = self._train_indices()
-        cur_iter = 0
-        for epoch in range(self.nepochs):
-            for i in idxs:
-                t0 = time.time()
-                item = self.dataset[i]
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(item["cam_to_world"]),
-                    jnp.asarray(item["cam_position"]),
-                    jnp.asarray(item["color"]),
-                    jnp.asarray(item["rgb_grad"]),
-                    jnp.asarray(float(cur_iter)),
-                    jax.random.fold_in(self.key, cur_iter),
-                )
-                print(
-                    f"{self.expname} [{epoch}] ({i}/{len(idxs)}): "
-                    f"{self.head}_syn_loss = {float(loss):.6f}, "
-                    f"batch cost time : {time.time()-t0:.4f}s"
-                )
-                self.writer.add_scalar(
-                    f"{self.head}_syn_loss", float(loss), cur_iter
-                )
-                cur_iter += 1
+        self._run_epochs(self._train_indices(), f"{self.head}_syn_loss")
         ckpt.save_checkpoint(
             self.exp.checkpoints_dir, self.nepochs, {"params": self.params}
         )

@@ -216,8 +216,8 @@ class MatTrainRunner:
 
     # ------------------------------------------------------------------
     def _make_step(self, stage: int, optimizer):
+        """Raw (unjitted) train step; `n_rooms` must be a Python int."""
         import jax
-        import jax.numpy as jnp
         import optax
 
         from texir_code_tpu.models.losses import render_loss
@@ -244,14 +244,50 @@ class MatTrainRunner:
             params = optax.apply_updates(params, updates)
             return clamp_material_params(params), opt_state, loss, seg_term
 
-        return jax.jit(step, static_argnames=("n_rooms",))
+        return step
+
+    def _stack_epoch_data(self, indices):
+        """Stack the training views' tensors along a leading view axis for
+        the scanned epoch dispatch.  Returns (xs tuple of [V, ...] arrays,
+        scene-global n_rooms).  The room count is the max over views — the
+        roomseg image is scene-level (reference utils/general.py:115-125),
+        so the mode-2 seg loss normalizes by the scene's room count for
+        every view rather than a per-view maximum."""
+        import jax.numpy as jnp
+
+        cols = {k: [] for k in (
+            "mvp", "pos", "gt", "mask", "seg", "hl", "region", "room")}
+        n_rooms = 1
+        ids = []
+        for i in indices:
+            item = self.dataset[i]
+            m = self.masks[item["id"]]
+            cols["mvp"].append(item["cam_to_world"])
+            cols["pos"].append(item["cam_position"])
+            cols["gt"].append(item["color"])
+            cols["mask"].append(item["mask"])
+            cols["seg"].append(m["seg_id"])
+            cols["hl"].append(m["highlight"])
+            cols["region"].append(m["seg_region"])
+            cols["room"].append(m["room_id"])
+            n_rooms = max(n_rooms, m["n_rooms"])
+            ids.append(item["id"])
+        xs = tuple(jnp.asarray(np.stack(v)) for v in cols.values())
+        return xs, n_rooms, ids
 
     def _substage(self, stage: int, epochs: int, cur_iter: int) -> int:
+        """One substage: `epochs` epochs over the training views, each epoch
+        a SINGLE jitted dispatch that lax.scan's the per-view step (the
+        tunneled-relay per-dispatch cost is heavy-tailed — seconds,
+        occasionally — so per-view dispatch dominates small steps; see
+        PERF.md).  Numerically identical to the per-view loop: same fold_in
+        key sequence, same view order."""
         import jax
         import jax.numpy as jnp
         import optax
 
-        steps_per_epoch = max(1, len(self._train_indices()))
+        indices = self._train_indices()
+        steps_per_epoch = max(1, len(indices))
         schedule = optax.exponential_decay(
             self.lr, transition_steps=self.sched_step * steps_per_epoch,
             decay_rate=self.sched_factor, staircase=True,
@@ -259,38 +295,51 @@ class MatTrainRunner:
         optimizer = optax.adam(schedule)
         opt_state = optimizer.init(self.params)
         step = self._make_step(stage, optimizer)
+        xs, n_rooms, view_ids = self._stack_epoch_data(indices)
+        base_key = self.key
+
+        def train_epoch(params, opt_state, xs, iter0):
+            def body(carry, inp):
+                p, o = carry
+                (mvp, pos, gt, mask, seg, hl, region, room), it = inp
+                k = jax.random.fold_in(base_key, it)
+                p, o, loss, seg_term = step(
+                    p, o, mvp, pos, gt, mask, seg, hl, region, room, n_rooms, k
+                )
+                return (p, o), (loss, seg_term)
+
+            its = iter0 + jnp.arange(len(indices), dtype=jnp.int32)
+            (params, opt_state), (losses, seg_terms) = jax.lax.scan(
+                body, (params, opt_state), (xs, its)
+            )
+            return params, opt_state, losses, seg_terms
+
+        epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
 
         for epoch in range(epochs):
-            for i in self._train_indices():
-                t0 = time.time()
-                item = self.dataset[i]
-                m = self.masks[item["id"]]
-                self.params, opt_state, loss, seg_term = step(
-                    self.params, opt_state,
-                    jnp.asarray(item["cam_to_world"]),
-                    jnp.asarray(item["cam_position"]),
-                    jnp.asarray(item["color"]),
-                    jnp.asarray(item["mask"]),
-                    jnp.asarray(m["seg_id"]),
-                    jnp.asarray(m["highlight"]),
-                    jnp.asarray(m["seg_region"]),
-                    jnp.asarray(m["room_id"]),
-                    m["n_rooms"],
-                    jax.random.fold_in(self.key, cur_iter),
-                )
+            t0 = time.time()
+            self.params, opt_state, losses, seg_terms = epoch_fn(
+                self.params, opt_state, xs, jnp.int32(cur_iter)
+            )
+            losses = np.asarray(losses)
+            seg_terms = np.asarray(seg_terms)
+            dt = (time.time() - t0) / len(indices)
+            for bi, i in enumerate(indices):
                 print(
                     f"{self.expname} [{epoch}] ({i}/{len(self.dataset)}): "
-                    f"img_loss_stage{stage} ({self.loss_type}) = {float(loss):.6f}, "
-                    f"seg_loss = {float(seg_term):.6f}, id = {item['id']}, "
-                    f"batch cost time : {time.time()-t0:.4f}s"
+                    f"img_loss_stage{stage} ({self.loss_type}) = {losses[bi]:.6f}, "
+                    f"seg_loss = {seg_terms[bi]:.6f}, id = {view_ids[bi]}, "
+                    f"batch cost time : {dt:.4f}s"
                 )
                 self.writer.add_scalar(
-                    f"img_loss_{self.loss_type}_stage{stage}", float(loss), cur_iter
+                    f"img_loss_{self.loss_type}_stage{stage}", float(losses[bi]),
+                    cur_iter + bi,
                 )
                 self.writer.add_scalar(
-                    f"seg_loss_{self.loss_type}_stage{stage}", float(seg_term), cur_iter
+                    f"seg_loss_{self.loss_type}_stage{stage}", float(seg_terms[bi]),
+                    cur_iter + bi,
                 )
-                cur_iter += 1
+            cur_iter += len(indices)
             if self.plot_freq and (epoch + 1) % self.plot_freq == 0:
                 self.plot_to_disk(stage, f"s{stage}_e{epoch}")
         return cur_iter
