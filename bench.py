@@ -153,9 +153,16 @@ def _mat_step(syn):
     ones = jnp.ones((6, res, res, 1))
     opt = optax.adam(3e-2)
 
+    # the production trainer hoists the per-view constants (primary
+    # G-buffer + LODs — camera-only functions) out of the step and scans
+    # epochs over the cached views (train/material.py::_stack_epoch_data);
+    # bit-identical to retracing in-step (tests/test_pipeline.py::
+    # test_mat_fused_epoch_matches_per_step)
+    view = jax.jit(model.precompute_view)(params, mvp, pos)
+
     def step(p, opt_state, key):
         def loss_fn(pp):
-            out = model._forward(pp, mvp, pos, key, stage=2)
+            out = model._forward(pp, mvp, pos, key, stage=2, view=view)
             total, _ = render_loss(gt, out, ones, seg_id, 49, 2, seg_region=ones)
             return total
 

@@ -410,6 +410,40 @@ class MaterialModel:
             raise ValueError(f"unknown stage: {stage}")
         return rgb, albedo_out, roughness, roughness_womip
 
+    def precompute_view(
+        self,
+        params: MaterialParams,
+        mvp: jnp.ndarray,
+        cam_position: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-view constants of the training step: the primary G-buffer and
+        the mip LODs depend only on (mvp, cam_position) — fixed across all
+        training epochs — so the trainers hoist them out of the step (the
+        primary trace is ~30% of a stage-2 step; PERF.md round 3).  `params`
+        contributes only its static atlas shapes (LOD levels).  Feeding the
+        result to `_forward(view=...)` is bit-identical to the uncached path:
+        the same ops run on the same inputs, once instead of per step."""
+        g = self._gbuffer(mvp, cam_position)
+        normal = jax.lax.stop_gradient(g.normal)
+        position = jax.lax.stop_gradient(g.position)
+        uv_img = jax.lax.stop_gradient(g.uv)
+        f, h, w, _ = normal.shape
+        b = f * h * w
+        lod_a = compute_lod(uv_img, params.albedo.shape[0], params.albedo.shape[1])
+        lod_r = compute_lod(
+            uv_img, params.roughness.shape[0], params.roughness.shape[1]
+        )
+        lod_i = compute_lod(uv_img, self.irt.shape[0], self.irt.shape[1])
+        return {
+            "uv": uv_img.reshape(b, 2),
+            "lod_a": lod_a.reshape(b),
+            "lod_r": lod_r.reshape(b),
+            "lod_i": lod_i.reshape(b),
+            "normal": normal,
+            "position": position,
+            "mask": g.mask,
+        }
+
     def _forward(
         self,
         params: MaterialParams,
@@ -417,23 +451,18 @@ class MaterialModel:
         cam_position: jnp.ndarray,
         key: jax.Array,
         stage: int,
+        view: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, jnp.ndarray]:
-        g = self._gbuffer(mvp, cam_position)
-        # G-buffers are non-differentiable by construction here (ray cast),
-        # matching the reference's detach discipline.
-        normal = jax.lax.stop_gradient(g.normal)
-        position = jax.lax.stop_gradient(g.position)
-        uv_img = jax.lax.stop_gradient(g.uv)
-        mask = g.mask
+        if view is None:
+            view = self.precompute_view(params, mvp, cam_position)
+        # G-buffers are non-differentiable by construction here (ray cast,
+        # see precompute_view), matching the reference's detach discipline.
+        normal = view["normal"]
+        position = view["position"]
+        mask = view["mask"]
 
         f, h, w, _ = normal.shape
         b = f * h * w
-        # mip LODs need the image neighborhood -> computed on full images
-        lod_a = compute_lod(uv_img, params.albedo.shape[0], params.albedo.shape[1])
-        lod_r = compute_lod(
-            uv_img, params.roughness.shape[0], params.roughness.shape[1]
-        )
-        lod_i = compute_lod(uv_img, self.irt.shape[0], self.irt.shape[1])
 
         # per-pixel toroidal sample shift keyed by GLOBAL pixel id — the
         # specular MC draw is identical however the pixel axis is sharded
@@ -444,21 +473,21 @@ class MaterialModel:
 
         args = (
             params,
-            uv_img.reshape(b, 2),
-            lod_a.reshape(b), lod_r.reshape(b), lod_i.reshape(b),
+            view["uv"],
+            view["lod_a"], view["lod_r"], view["lod_i"],
             normal.reshape(b, 3), position.reshape(b, 3),
             spec_shift, cam_position,
         )
         if self.atlas_mesh is not None:
             from texir_code_tpu.parallel.atlas_tp import tp_sample_materials
 
-            uv_flat = uv_img.reshape(b, 2)
+            uv_flat = view["uv"]
             alb, rgh, womip = tp_sample_materials(
                 self.atlas_mesh, params.albedo, params.roughness,
-                uv_flat, lod_a.reshape(b), lod_r.reshape(b),
+                uv_flat, view["lod_a"], view["lod_r"],
                 self.max_mip_level,
             )
-            irr = texture_sample(self.irt_pyramid, uv_flat, lod_i.reshape(b))
+            irr = texture_sample(self.irt_pyramid, uv_flat, view["lod_i"])
             rgb, albedo, roughness, roughness_womip = self._stage_shade(
                 alb, rgh, womip, irr,
                 normal.reshape(b, 3), position.reshape(b, 3),

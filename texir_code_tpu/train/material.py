@@ -228,9 +228,10 @@ class MatTrainRunner:
         num_classes = NUM_SEG_CLASSES + 1  # +1 ignore bucket (eroded floor rim)
 
         def step(params, opt_state, mvp, cam_pos, gt, gt_mask, seg_id,
-                 highlight, seg_region, room_id, n_rooms, key):
+                 highlight, seg_region, room_id, n_rooms, key, view=None):
             def loss_fn(p):
-                out = model._forward(p, mvp, cam_pos, key, stage=stage)
+                out = model._forward(p, mvp, cam_pos, key, stage=stage,
+                                     view=view)
                 total, seg_term = render_loss(
                     gt, out, gt_mask, seg_id, num_classes, stage,
                     highlight=highlight, seg_region=seg_region,
@@ -273,7 +274,17 @@ class MatTrainRunner:
             n_rooms = max(n_rooms, m["n_rooms"])
             ids.append(item["id"])
         xs = tuple(jnp.asarray(np.stack(v)) for v in cols.values())
-        return xs, n_rooms, ids
+
+        # views are fixed across all epochs: trace each view's G-buffer +
+        # LODs ONCE (the primary trace is ~30% of a stage-2 step) and carry
+        # the stacked per-view cache through the epoch scan.  Bit-identical
+        # to retracing in-step (same ops, same inputs).
+        import jax
+
+        pre = jax.jit(self.model.precompute_view)
+        views = [pre(self.params, m, p) for m, p in zip(xs[0], xs[1])]
+        views = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *views)
+        return xs + (views,), n_rooms, ids
 
     def _substage(self, stage: int, epochs: int, cur_iter: int) -> int:
         """One substage: `epochs` epochs over the training views, each epoch
@@ -301,10 +312,11 @@ class MatTrainRunner:
         def train_epoch(params, opt_state, xs, iter0):
             def body(carry, inp):
                 p, o = carry
-                (mvp, pos, gt, mask, seg, hl, region, room), it = inp
+                (mvp, pos, gt, mask, seg, hl, region, room, view), it = inp
                 k = jax.random.fold_in(base_key, it)
                 p, o, loss, seg_term = step(
-                    p, o, mvp, pos, gt, mask, seg, hl, region, room, n_rooms, k
+                    p, o, mvp, pos, gt, mask, seg, hl, region, room, n_rooms,
+                    k, view=view,
                 )
                 return (p, o), (loss, seg_term)
 
