@@ -94,6 +94,13 @@ class _HeadBase:
         irr = texture_sample(irt_pyr, uv, lod)
         return position, normal, irr, g.mask
 
+    def precompute_view(self, mvp, cam_position):
+        """Camera-only step constants (primary G-buffer + IrT irradiance),
+        fixed across training epochs — trainers hoist this out of the step
+        and pass the result back via `_forward(view=...)`, bit-identical to
+        recomputing in-step (see models/material.py::precompute_view)."""
+        return self._gbuffer(mvp, cam_position)
+
     def _specular(self, n, view, pts, rgh, key):
         from texir_code_tpu.models.tbl import query_tbl_auto
 
@@ -144,8 +151,10 @@ class InvRenderMaterialModel(_HeadBase):
             self._jitted["fwd"] = fn
         return fn(params, mvp, cam_position, key)
 
-    def _forward(self, params, mvp, cam_position, key):
-        position, normal, irr, mask = self._gbuffer(mvp, cam_position)
+    def _forward(self, params, mvp, cam_position, key, view=None):
+        position, normal, irr, mask = (
+            view if view is not None else self._gbuffer(mvp, cam_position)
+        )
         f, h, w, _ = normal.shape
         b = f * h * w
         pts_img = position.reshape(b, 3)
@@ -207,8 +216,10 @@ class NeILFMaterialModel(_HeadBase):
             self._jitted["fwd"] = fn
         return fn(params, mvp, cam_position, key)
 
-    def _forward(self, params, mvp, cam_position, key):
-        position, normal, irr, mask = self._gbuffer(mvp, cam_position)
+    def _forward(self, params, mvp, cam_position, key, view=None):
+        position, normal, irr, mask = (
+            view if view is not None else self._gbuffer(mvp, cam_position)
+        )
         f, h, w, _ = normal.shape
         b = f * h * w
         pts_img = position.reshape(b, 3)
@@ -287,8 +298,10 @@ class NvDiffRecMaterialModel(_HeadBase):
             self._jitted["fwd"] = fn
         return fn(params, mvp, cam_position, key)
 
-    def _forward(self, params, mvp, cam_position, key):
-        position, normal, irr, mask = self._gbuffer(mvp, cam_position)
+    def _forward(self, params, mvp, cam_position, key, view=None):
+        position, normal, irr, mask = (
+            view if view is not None else self._gbuffer(mvp, cam_position)
+        )
         f, h, w, _ = normal.shape
         b = f * h * w
         pts_img = position.reshape(b, 3)

@@ -118,9 +118,10 @@ class BaselineHeadRunner:
         optimizer = self.optimizer
         loss_conf = self.conf.get_config("loss", default=None)
 
-        def step(params, opt_state, mvp, cam_pos, gt, rgb_grad, iteration, key):
+        def step(params, opt_state, mvp, cam_pos, gt, rgb_grad, iteration, key,
+                 view=None):
             def loss_fn(p):
-                out = model._forward(p, mvp, cam_pos, key)
+                out = model._forward(p, mvp, cam_pos, key, view=view)
                 if head == "invrender":
                     kw = {}
                     if loss_conf is not None:
@@ -161,16 +162,22 @@ class BaselineHeadRunner:
             cols["gt"].append(item["color"])
             cols["grad"].append(item["rgb_grad"])
         xs = tuple(jnp.asarray(np.stack(v)) for v in cols.values())
+        # camera-only constants (G-buffer + IrT irradiance) hoisted out of
+        # the step: traced once per view, carried through the epoch scan
+        pre = jax.jit(self.model.precompute_view)
+        views = [pre(m, p) for m, p in zip(xs[0], xs[1])]
+        xs = xs + (jax.tree_util.tree_map(lambda *a: jnp.stack(a), *views),)
         step = self._raw_step
         base_key = self.key
 
         def train_epoch(params, opt_state, xs, iter0):
             def body(carry, inp):
                 p, o = carry
-                (mvp, pos, gt, gg), it = inp
+                (mvp, pos, gt, gg, view), it = inp
                 k = jax.random.fold_in(base_key, it)
                 p, o, loss = step(
-                    p, o, mvp, pos, gt, gg, it.astype(jnp.float32), k
+                    p, o, mvp, pos, gt, gg, it.astype(jnp.float32), k,
+                    view=view,
                 )
                 return (p, o), loss
 
