@@ -238,6 +238,11 @@ def test_head_syn_runner(trained_env):
                   "roughness_psnr"):
             assert np.isfinite(m[k]), k
         assert runner.model.sample_light[1] == 8  # eval spp applied
+        # A broken GT load must surface as NaN metrics, never silently
+        # missing keys (round-2 verdict weak #5).
+        runner.dataset.gt_albedo = None
+        m2 = runner.evaluate()
+        assert np.isnan(m2["albedo_psnr"]) and np.isnan(m2["roughness_psnr"])
     finally:
         os.remove(os.path.join(root, "info", "novel.txt"))
 

@@ -219,3 +219,46 @@ def test_pallas_dispatch_wiring_matches_cpu(scene, cam):
     scale = max(float(np.abs(b).max()), 1e-6)
     assert np.abs(a - b).max() / scale < 0.15
     assert np.abs(a - b).mean() / scale < 0.005
+
+
+def test_cached_view_matches_uncached_stage2(model, cam):
+    """_forward(view=precompute_view(...)) vs _forward(view=None) for Mat
+    stage 2: the cached path runs the same ops in a separate jit, so parity
+    is numerical (1e-5), not bitwise (ADVICE r2: the only prior coverage was
+    stage 0 at 1e-5 through the fused-epoch test)."""
+    ext, pos = cam
+    mvp = cube_mvp(ext)
+    params = init_material_params(32, 64)
+    key = jax.random.PRNGKey(7)
+    view = jax.jit(model.precompute_view)(params, mvp, pos)
+    out_c = jax.jit(lambda p: model._forward(p, mvp, pos, key, stage=2, view=view))(params)
+    out_u = jax.jit(lambda p: model._forward(p, mvp, pos, key, stage=2))(params)
+    for k in ("rgb", "albedo", "roughness", "roughness_womipmap"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[k]), np.asarray(out_u[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+
+
+def test_cached_view_matches_uncached_head(scene):
+    """Same parity for a baseline head model (NeILF)."""
+    from texir_code_tpu.models.material_heads import NeILFMaterialModel
+
+    irt = np.full((16, 16, 3), 1.0, np.float32)
+    m = NeILFMaterialModel(
+        scene.mesh, scene.hdr_texture, irt,
+        pano_res=(16, 32), sample_light=(8, 4),
+    )
+    params = m.init_params(jax.random.PRNGKey(0))
+    pos = jnp.asarray(scene.camera_positions(1)[0])
+    ext = np.eye(4, dtype=np.float32)
+    ext[0:3, 3] = np.asarray(pos)
+    mvp = cube_mvp(jnp.asarray(ext))
+    key = jax.random.PRNGKey(3)
+    view = jax.jit(m.precompute_view)(mvp, pos)
+    out_c = jax.jit(lambda p: m._forward(p, mvp, pos, key, view=view))(params)
+    out_u = jax.jit(lambda p: m._forward(p, mvp, pos, key))(params)
+    np.testing.assert_allclose(
+        np.asarray(out_c["rgb"]), np.asarray(out_u["rgb"]),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -19,6 +19,9 @@ import numpy as np
 WORKER = textwrap.dedent(
     """
     import sys
+    # repo root injected via argv (NOT PYTHONPATH: setting PYTHONPATH at all
+    # breaks axon plugin registration — see CLAUDE.md environment notes)
+    sys.path.insert(0, sys.argv[4])
     import jax
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
@@ -63,7 +66,7 @@ def _free_port():
 def test_two_process_bake(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    repo_root = os.path.dirname(os.path.dirname(__file__))
     coord = f"127.0.0.1:{_free_port()}"
     out_path = str(tmp_path / "tex.npy")
     worker = str(tmp_path / "worker.py")
@@ -72,7 +75,7 @@ def test_two_process_bake(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, str(pid), out_path],
+            [sys.executable, worker, coord, str(pid), out_path, repo_root],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in (0, 1)

@@ -237,3 +237,23 @@ def test_mat_fused_epoch_matches_per_step(pipeline_env):
     np.testing.assert_allclose(
         np.asarray(fused.roughness), np.asarray(p.roughness), atol=1e-5, rtol=1e-5
     )
+
+
+def test_mat_view_cache_budget_fallback(pipeline_env):
+    """Above the view-cache HBM budget the runner recomputes G-buffers
+    in-step (ADVICE r2: the stacked per-view cache is unbounded otherwise);
+    training still works."""
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    runner = MatTrainRunner(
+        conf, expname="nocache", exps_root=exps, albedo_res=16,
+        roughness_res=16,
+    )
+    runner.view_cache_budget = 0
+    runner.build_masks()
+    xs, n_rooms, ids = runner._stack_epoch_data(runner._train_indices())
+    assert xs[-1] is None  # cache disabled
+    runner._substage(0, 1, 0)
+    a = np.asarray(runner.params.albedo)
+    assert np.isfinite(a).all() and np.abs(a - 0.5).max() > 1e-3

@@ -59,6 +59,39 @@ jax.tree_util.register_pytree_node(
 )
 
 
+# Conf-tunable kernel-shape knobs (models.render.* in .conf files) and their
+# measured per-scene defaults.  The defaults are APARTMENT-tuned (9k tris,
+# convex rooms); multi-room scan meshes prefer different values — see the
+# sweep tables in PERF.md.  `None` entries mean "keep the model default".
+RENDER_KNOBS = (
+    # specular TBL trace (query_tbl_stream): apartment optimum er=1 rw=1024;
+    # two_pass_cut ~0.25-0.3 pays only on multi-room scenes (PERF.md round 3)
+    "spec_fan_block", "spec_exit_rows", "spec_row_width",
+    "spec_two_pass_cut", "spec_two_pass_cap",
+    # primary-visibility G-buffer kernel shape (er=1 LOSES here; PERF.md)
+    "gbuf_fan_block", "gbuf_exit_rows", "gbuf_row_width",
+    # 'prefiltered' (1 u32 gather/ray) or 'exact' bilinear radiance fetch
+    "specular_fetch",
+    # pixel-chunked shading for high-spp eval (reference split_input)
+    "shade_chunk",
+)
+
+
+def render_knobs_from_conf(conf) -> Dict:
+    """Collect models.render.* kernel knobs from a conf (VERDICT r2 #7: the
+    per-scene kernel shapes must be expressible in .conf files, not only as
+    mutable attributes)."""
+    knobs = {}
+    for name in RENDER_KNOBS:
+        val = conf.get(f"models.render.{name}", None)
+        if val is not None:
+            knobs[name] = val
+    lb = conf.get("models.render.cluster_lb", None)
+    if lb is not None:
+        knobs["cluster_lb"] = int(lb)
+    return knobs
+
+
 def init_material_params(
     albedo_res: int = 2048, roughness_res: int = 4096
 ) -> MaterialParams:
@@ -101,6 +134,8 @@ class MaterialModel:
         leaf_width: int = 4,
         spmd_mesh=None,
         atlas_mesh=None,
+        cluster_lb: int = 8,
+        render_knobs: Optional[Dict] = None,
     ):
         """Args mirror the reference config knobs:
 
@@ -152,8 +187,9 @@ class MaterialModel:
         # sub-linear in scene size; ops/pallas_culled.py)
         from texir_code_tpu.ops.pallas_culled import ClusterScene
 
+        cluster_lb = (render_knobs or {}).get("cluster_lb", cluster_lb)
         self.cluster_scene = ClusterScene.from_fan(
-            self.fan_scene, lb=8, dense=True
+            self.fan_scene, lb=cluster_lb, dense=True
         )
         # 'prefiltered': half-texel-snapped RGBE-quantized bilinear, 1 u32
         # gather/ray (the fetch is outside the gradient path — radiance is
@@ -207,6 +243,15 @@ class MaterialModel:
         # pixel-chunked shading for high-spp evaluation (the reference's
         # split_input at 2000 px, utils/general.py:28-58); None = one shot.
         self.shade_chunk: Optional[int] = None
+        # conf-surface overrides (models.render.* knobs — see
+        # render_knobs_from_conf); applied last so confs can retune the
+        # per-scene kernel shapes documented above.
+        for k, v in (render_knobs or {}).items():
+            if k == "cluster_lb":
+                continue  # consumed above (ClusterScene construction)
+            if not hasattr(self, k):
+                raise ValueError(f"unknown render knob: {k}")
+            setattr(self, k, v)
 
         self._jitted = {}
 
@@ -421,8 +466,11 @@ class MaterialModel:
         training epochs — so the trainers hoist them out of the step (the
         primary trace is ~30% of a stage-2 step; PERF.md round 3).  `params`
         contributes only its static atlas shapes (LOD levels).  Feeding the
-        result to `_forward(view=...)` is bit-identical to the uncached path:
-        the same ops run on the same inputs, once instead of per step."""
+        result to `_forward(view=...)` is numerically equivalent to the
+        uncached path — the same ops run on the same inputs, but in a
+        separate jit, so XLA fusion choices may differ by ulps
+        (tests/test_material.py pins the parity for Mat stage 2 and a head
+        model at 1e-5)."""
         g = self._gbuffer(mvp, cam_position)
         normal = jax.lax.stop_gradient(g.normal)
         position = jax.lax.stop_gradient(g.position)

@@ -97,8 +97,9 @@ class _HeadBase:
     def precompute_view(self, mvp, cam_position):
         """Camera-only step constants (primary G-buffer + IrT irradiance),
         fixed across training epochs — trainers hoist this out of the step
-        and pass the result back via `_forward(view=...)`, bit-identical to
-        recomputing in-step (see models/material.py::precompute_view)."""
+        and pass the result back via `_forward(view=...)`, numerically
+        equivalent to recomputing in-step (separate jit — fusion may differ
+        by ulps; see models/material.py::precompute_view)."""
         return self._gbuffer(mvp, cam_position)
 
     def _specular(self, n, view, pts, rgh, key):

@@ -370,8 +370,17 @@ class BaselineHeadSynRunner(BaselineHeadRunner):
         metrics.update(render_metrics(novel_idx, "novel"))
         try:
             metrics.update(evaluate_head_materials_syn(self))
-        except ValueError:
-            pass
+        except ValueError as e:
+            # Surface a broken GT load instead of silently omitting half the
+            # metric keys: log it and emit NaN placeholders so downstream
+            # consumers see the absence.
+            print(f"{self.head} material eval FAILED: {e}")
+            metrics.update({
+                k: float("nan") for k in (
+                    "albedo_scale", "albedo_mse", "albedo_psnr", "albedo_ssim",
+                    "roughness_mse", "roughness_psnr", "roughness_ssim",
+                )
+            })
         return metrics
 
 

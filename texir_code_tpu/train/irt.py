@@ -59,6 +59,17 @@ class IrrTextureRunner:
         self.tbl = build_tbl(self.mesh, tex, hdr_exposure)
 
         spp = conf.get_list("train.sample_light", default=[2048, 16])[0]
+        # conf-tunable kernel-shape knobs (VERDICT r2 #7) with the measured
+        # per-scene defaults documented in PERF.md: the apartment optimum is
+        # lb=4 / fan_block=32 / exit_rows=16 / single-pass; multi-room scans
+        # prefer fan_block=16 + two_pass_cut~0.25 (PERF.md round 3).
+        lb = conf.get_int("train.bake_cluster_lb", default=4)
+        fan_block = conf.get_int("train.bake_fan_block", default=32)
+        exit_rows = conf.get_int("train.bake_exit_rows", default=16)
+        two_pass_cut = conf.get("train.two_pass_cut", None)
+        two_pass_cap = conf.get_float("train.two_pass_cap", default=0.125)
+        texel_batch = conf.get_int("train.texel_batch", default=4096)
+        wedges = conf.get_int("train.bake_wedges", default=4)
         fan = None
         clusters = None
         if use_fan:
@@ -68,13 +79,42 @@ class IrrTextureRunner:
             fan = FanScene.from_flat(fb, triangle_uvs=self.mesh.triangle_uvs())
             # culled wedge kernel (sub-linear in scene size); the fan scene
             # stays as the CPU/interpret fallback path
-            clusters = ClusterScene.from_fan(fan, lb=4, dense=True)
-        self.baker = IrradianceTextureBaker(
-            self.tbl, spp=int(spp), texel_batch=4096, fan_scene=fan,
-            max_leaves=fan.num_leaves if fan is not None else 768,
-            cluster_scene=clusters, wedges=4,
+            clusters = ClusterScene.from_fan(fan, lb=lb, dense=True)
+        # multi-device: shard the texel axis across local chips by default
+        # (VERDICT r2 missing #1 — --num_processes used to duplicate the
+        # bake; the sharded baker also owns the per-process batch split +
+        # allgather merge, parallel/bake.py).  train.spmd = false disables.
+        import jax
+
+        spmd = conf.get("train.spmd", "auto")
+        multi = (
+            spmd is True
+            or (spmd == "auto"
+                and (len(jax.local_devices()) > 1 or jax.process_count() > 1))
         )
-        self.baker.exit_rows = 16
+        baker_kw = dict(
+            spp=int(spp), texel_batch=texel_batch,
+            cluster_scene=clusters, wedges=wedges,
+        )
+        if multi:
+            from texir_code_tpu.parallel.bake import ShardedIrradianceBaker
+            from texir_code_tpu.parallel.mesh import make_device_mesh
+
+            self.baker = ShardedIrradianceBaker(
+                self.tbl, mesh=make_device_mesh(), **baker_kw
+            )
+            self.baker.fan_scene = fan
+            self.baker.max_leaves = fan.num_leaves if fan is not None else 768
+        else:
+            self.baker = IrradianceTextureBaker(
+                self.tbl, fan_scene=fan,
+                max_leaves=fan.num_leaves if fan is not None else 768,
+                **baker_kw,
+            )
+        self.baker.fan_block = fan_block
+        self.baker.exit_rows = exit_rows
+        self.baker.two_pass_cut = two_pass_cut
+        self.baker.two_pass_cap = two_pass_cap
         self.texture_res = texture_res
         self._geom = bake_geometry_textures(self.mesh, texture_res)
 

@@ -30,6 +30,7 @@ import numpy as np
 from texir_code_tpu.config import Config
 from texir_code_tpu.data import hdrio
 from texir_code_tpu.data.datasets import ImageCubeDerived
+from texir_code_tpu.parallel.mesh import parallel_meshes_from_conf
 from texir_code_tpu.train import checkpoints as ckpt
 from texir_code_tpu.train.exp import ExperimentDir, seed_everything
 
@@ -102,11 +103,14 @@ class MatTrainRunner:
         )
 
         if model is None:
+            from texir_code_tpu.models.material import render_knobs_from_conf
+
             mesh = load_obj(path_mesh)
             hdr_tex = hdrio.read_hdr(
                 path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
             )
             irt = hdrio.read_hdr(path_mesh.replace("out1.obj", "irt.hdr"), flip=True)
+            spmd_mesh, atlas_mesh = parallel_meshes_from_conf(conf)
             model = MaterialModel(
                 mesh, hdr_tex, irt,
                 pano_res=self.pano_res,
@@ -115,9 +119,18 @@ class MatTrainRunner:
                     conf.get_list("models.render.sample_type", default=["uniform", "importance"])
                 ),
                 hdr_exposure=hdr_exposure,
+                spmd_mesh=spmd_mesh,
+                atlas_mesh=atlas_mesh,
+                render_knobs=render_knobs_from_conf(conf),
             )
         self.model = model
         self.params = init_material_params(albedo_res, roughness_res)
+        if getattr(self.model, "atlas_mesh", None) is not None:
+            from texir_code_tpu.parallel.atlas_tp import shard_atlas
+
+            self.params = jax.tree.map(
+                lambda t: shard_atlas(self.model.atlas_mesh, t), self.params
+            )
         if self.exp.continued:
             import jax.numpy as jnp
 
@@ -136,6 +149,12 @@ class MatTrainRunner:
                     roughness=jnp.asarray(restored["roughness"]),
                 )
 
+        # per-view G-buffer/LOD cache HBM budget (ADVICE r2: the stacked
+        # cache grows linearly with n_views · cube_res²; ~5 MB/view at the
+        # reference pano 256×512, so the 2 GiB default covers ~400 views)
+        self.view_cache_budget = int(
+            conf.get_float("train.view_cache_budget_mb", default=2048.0) * 2**20
+        )
         self.nepochs = max_epochs or conf.get_int("train.mat_epoch", default=40)
         self.lr = conf.get_float("train.mat_learning_rate", default=3e-2)
         self.sched_step = conf.get_int("train.mat_sched_step", default=20)
@@ -230,8 +249,10 @@ class MatTrainRunner:
         def step(params, opt_state, mvp, cam_pos, gt, gt_mask, seg_id,
                  highlight, seg_region, room_id, n_rooms, key, view=None):
             def loss_fn(p):
+                # an empty dict stands for "no cache" in the epoch scan
+                # (None can't ride through lax.scan xs)
                 out = model._forward(p, mvp, cam_pos, key, stage=stage,
-                                     view=view)
+                                     view=view if view else None)
                 total, seg_term = render_loss(
                     gt, out, gt_mask, seg_id, num_classes, stage,
                     highlight=highlight, seg_region=seg_region,
@@ -277,10 +298,24 @@ class MatTrainRunner:
 
         # views are fixed across all epochs: trace each view's G-buffer +
         # LODs ONCE (the primary trace is ~30% of a stage-2 step) and carry
-        # the stacked per-view cache through the epoch scan.  Bit-identical
-        # to retracing in-step (same ops, same inputs).
+        # the stacked per-view cache through the epoch scan.  Numerically
+        # equivalent to retracing in-step (same ops, same inputs; separate
+        # jit).  Memory: ~12 fp32/pixel → n_views · 6 · cube_res² · 48 B
+        # (~5 MB/view at the reference pano 256×512); above
+        # view_cache_budget bytes the runner falls back to in-step G-buffer
+        # recompute (view=None) instead of pressuring HBM.
         import jax
 
+        n_views = len(indices)
+        res = self.model.cube_res
+        cache_bytes = n_views * 6 * res * res * 12 * 4
+        if cache_bytes > self.view_cache_budget:
+            print(
+                f"per-view cache {cache_bytes/2**20:.0f} MiB exceeds budget "
+                f"{self.view_cache_budget/2**20:.0f} MiB — recomputing "
+                f"G-buffers in-step"
+            )
+            return xs + (None,), n_rooms, ids
         pre = jax.jit(self.model.precompute_view)
         views = [pre(self.params, m, p) for m, p in zip(xs[0], xs[1])]
         views = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *views)
@@ -319,6 +354,11 @@ class MatTrainRunner:
                     k, view=view,
                 )
                 return (p, o), (loss, seg_term)
+
+            # view=None (cache over budget): scan without the view leaf —
+            # the step recomputes the G-buffer in-step
+            if xs[-1] is None:
+                xs = xs[:-1] + ({},)  # empty pytree scans as "no view data"
 
             its = iter0 + jnp.arange(len(indices), dtype=jnp.int32)
             (params, opt_state), (losses, seg_terms) = jax.lax.scan(
