@@ -33,8 +33,13 @@ def export_dataset():
     from texir_code_tpu.data.synthetic import make_apartment_scene
 
     scene = make_apartment_scene(atlas_res=256, subdiv=24)
+    # material-consistent GT photos (view-dependent specular from the GT
+    # atlases): plain radiance panos carry no roughness signal at all —
+    # the round-2 roughness PSNR 8.22 was unrecoverable-by-construction,
+    # not an optimizer failure (PERF.md round 3 quality section)
     path_mesh = export_reference_layout(
-        scene, DATA, n_views=5, pano_res=(256, 512)
+        scene, DATA, n_views=5, pano_res=(256, 512),
+        gt_render="material", gt_spp=512, irt_spp=1024,
     )
     # hold out the last view for novel-view eval (reference info/novel.txt)
     with open(os.path.join(DATA, "info", "novel.txt"), "w") as f:

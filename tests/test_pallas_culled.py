@@ -361,3 +361,96 @@ def test_twopass_per_ray(scene):
         )
         np.testing.assert_array_equal(base.t, got.t, err_msg=f"cut={cut}")
         np.testing.assert_array_equal(base.prim, got.prim)
+
+
+def test_proxy_from_fan_is_largest_tris(scene):
+    syn, bvh, fan, clusters = scene
+    proxy = ClusterScene.proxy_from_fan(fan, k=64, lb=8)
+    assert proxy.has_uv == clusters.has_uv
+    prims = np.asarray(proxy.prims3).reshape(-1)
+    prims = prims[prims >= 0]
+    assert len(prims) == 64
+    # proxy prims are real scene prims (a subset)
+    all_prims = np.asarray(clusters.prims3).reshape(-1)
+    assert np.isin(prims, all_prims[all_prims >= 0]).all()
+    # they really are the largest-area triangles
+    verts = np.asarray(syn.mesh.vertices)
+    faces = np.asarray(syn.mesh.faces)
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    cut = np.sort(area)[-64]
+    assert (area[prims] >= cut - 1e-6).all()
+
+
+def test_proxy_seed_matches_unseeded(scene):
+    """Occlusion-proxy seeding must not change any hit (exactness)."""
+    syn, bvh, fan, clusters = scene
+    proxy = ClusterScene.proxy_from_fan(fan, k=48, lb=8)
+    origins, normals, dirs = _fan_batch(syn, t=8, s=256, seed=17)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 2) for a in ds)
+    rows_o = tuple(tile_rows(a, 2) for a in origins)
+    for kw in (
+        dict(),
+        dict(emit_uv=True),
+        dict(emit_uv=True, exit_rows=2),
+        dict(emit_prim=True, emit_uv=True),
+    ):
+        base = cast_fans_culled(
+            clusters, rows_o, rows_d, interpret=True, fan_block=8, **kw
+        )
+        got = cast_fans_culled(
+            clusters, rows_o, rows_d, interpret=True, fan_block=8,
+            proxy=proxy, **kw
+        )
+        np.testing.assert_array_equal(base.t, got.t, err_msg=f"{kw}")
+        np.testing.assert_array_equal(base.prim, got.prim, err_msg=f"{kw}")
+        np.testing.assert_array_equal(base.u, got.u, err_msg=f"{kw}")
+        np.testing.assert_array_equal(base.v, got.v, err_msg=f"{kw}")
+
+
+def test_proxy_seed_per_ray(scene):
+    syn, bvh, fan, clusters = scene
+    proxy = ClusterScene.proxy_from_fan(fan, k=48, lb=8)
+    rng = np.random.default_rng(23)
+    t, r = 8, 128
+    sx, sy, sz = syn.size
+    o = rng.uniform(0.3, 1.0, (3, t, r)).astype(np.float32)
+    o[0] *= sx - 0.6
+    o[1] *= sy - 0.6
+    o[2] *= sz - 0.6
+    d = rng.standard_normal((3, t, r)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    origins = tuple(jnp.asarray(o[k]) for k in range(3))
+    dirs = tuple(jnp.asarray(d[k]) for k in range(3))
+    base = cast_fans_culled(
+        clusters, origins, dirs, per_ray=True, interpret=True, exit_rows=1,
+    )
+    got = cast_fans_culled(
+        clusters, origins, dirs, per_ray=True, interpret=True, exit_rows=1,
+        proxy=proxy,
+    )
+    np.testing.assert_array_equal(base.t, got.t)
+    np.testing.assert_array_equal(base.prim, got.prim)
+
+
+def test_twopass_proxy_matches(scene):
+    from texir_code_tpu.ops.pallas_culled import cast_fans_culled_twopass
+
+    syn, bvh, fan, clusters = scene
+    proxy = ClusterScene.proxy_from_fan(fan, k=48, lb=8)
+    origins, normals, dirs = _fan_batch(syn, t=8, s=256, seed=29)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 2) for a in ds)
+    rows_o = tuple(tile_rows(a, 2) for a in origins)
+    base = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, fan_block=8, emit_uv=True,
+    )
+    got = cast_fans_culled_twopass(
+        clusters, rows_o, rows_d, interpret=True, fan_block=8, emit_uv=True,
+        cut_frac=0.4, proxy=proxy,
+    )
+    np.testing.assert_array_equal(base.t, got.t)
+    np.testing.assert_array_equal(base.u, got.u)
+    np.testing.assert_array_equal(base.v, got.v)

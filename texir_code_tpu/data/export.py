@@ -48,6 +48,107 @@ def render_pano(tbl, cam_position, res: Tuple[int, int]) -> np.ndarray:
     return np.asarray(out).reshape(h, w, 3)
 
 
+def render_pano_material(
+    mesh,
+    tbl,
+    irt_texture: np.ndarray,
+    gt_albedo: np.ndarray,
+    gt_roughness: np.ndarray,
+    cam_position,
+    res: Tuple[int, int],
+    spp: int = 256,
+    seed: int = 0,
+    fan_scene=None,
+    cluster_scene=None,
+    chunk: int = 16384,
+) -> np.ndarray:
+    """GT pano rendered through the forward material model.
+
+    Diffuse = IrT·albedo/π, specular = GGX importance-sampled Cook-Torrance
+    MC against the TBL — the same shading equations the Mat stages optimize
+    through (reference models/mat_nvdiffrast.py:203-279), evaluated at the
+    GT atlases with high spp.  The exported views then carry real
+    view-dependent specular signal and (gt_albedo, gt_roughness) is by
+    construction an optimum of the Mat inverse problem — matching the
+    reference's synthetic data, which is path-traced from GT materials
+    (its OptixRenderer stage); a plain radiance-texture pano (render_pano)
+    is view-independent, so roughness would be unrecoverable from it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from texir_code_tpu.models.tbl import query_tbl_auto
+    from texir_code_tpu.ops.gbuffer import DeviceMesh, interpolate_attributes
+    from texir_code_tpu.ops.raycast import cast_rays_soa
+    from texir_code_tpu.ops.sampling import generate_dir_soa, reflect_soa
+    from texir_code_tpu.ops.shading import specular_estimator_soa
+    from texir_code_tpu.ops.texture import bilinear_sample
+
+    h, w = res
+    dm = DeviceMesh.from_mesh(mesh)
+    d_all = pano_dirs(h, w).reshape(-1, 3)
+    n_all = d_all.shape[0]
+    cam = jnp.asarray(np.asarray(cam_position, np.float32))
+    alb_t = jnp.asarray(gt_albedo)
+    rgh_t = jnp.asarray(gt_roughness)
+    irt_t = jnp.asarray(irt_texture)
+
+    @jax.jit
+    def shade(dx, dy, dz, key):
+        n = dx.shape[0]
+        o = tuple(jnp.broadcast_to(cam[k], (n,)) for k in range(3))
+        hit = cast_rays_soa(tbl.bvh, o, (dx, dy, dz), t_min=1e-5)
+        valid = hit.prim >= 0
+        position, normal, uv = interpolate_attributes(dm, hit)
+        albedo = bilinear_sample(alb_t, uv)
+        rough = bilinear_sample(rgh_t, uv)[:, 0]
+        irr = bilinear_sample(irt_t, uv)
+        diffuse = irr * albedo / np.pi
+
+        # the trainers shade from position + 1e-2·normal (reference :151)
+        pts = position + 1e-2 * normal
+        view_v = cam[None, :] - pts
+        view_v = view_v / jnp.maximum(
+            jnp.linalg.norm(view_v, axis=-1, keepdims=True), 1e-4
+        )
+        n_soa = tuple(normal[:, k] for k in range(3))
+        v_soa = tuple(view_v[:, k] for k in range(3))
+        half = generate_dir_soa(
+            n_soa, spp, key, mode="importance", roughness=rough,
+            pre_mode="independent",
+        )
+        light_dirs, _ = reflect_soa(v_soa, half)
+        spec_o = tuple(
+            jnp.broadcast_to(pts[:, k:k + 1], (n, spp)) for k in range(3)
+        )
+        lighting = query_tbl_auto(
+            tbl, fan_scene, spec_o, light_dirs,
+            cluster_scene=cluster_scene,
+        )
+        spec = specular_estimator_soa(
+            lighting, half, n_soa, v_soa, light_dirs, rough
+        )
+        rgb = diffuse + jnp.stack(spec, axis=-1) / spp
+        return jnp.where(valid[:, None], rgb, 0.0)
+
+    out = np.zeros((n_all, 3), np.float32)
+    key = None
+    import jax as _jax
+
+    for i0 in range(0, n_all, chunk):
+        sl = slice(i0, min(i0 + chunk, n_all))
+        m = sl.stop - sl.start
+        pad = (-m) % 128
+        d = np.concatenate([d_all[sl], np.zeros((pad, 3), np.float32)])
+        key = _jax.random.fold_in(_jax.random.PRNGKey(seed), i0)
+        rgb = shade(
+            jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+            key,
+        )
+        out[sl] = np.asarray(rgb)[:m]
+    return out.reshape(h, w, 3)
+
+
 def render_seg_pano(tbl, seg_texture: np.ndarray, cam_position, res) -> np.ndarray:
     """Per-pixel segmentation id pano via nearest atlas lookup at the hit."""
     import jax.numpy as jnp
@@ -80,8 +181,18 @@ def export_reference_layout(
     n_views: int = 4,
     pano_res: Tuple[int, int] = (128, 256),
     with_gt: bool = True,
+    gt_render: str = "radiance",
+    gt_spp: int = 256,
+    irt_spp: int = 512,
 ) -> str:
-    """Write the reference dataset layout; returns path_mesh (out1.obj)."""
+    """Write the reference dataset layout; returns path_mesh (out1.obj).
+
+    gt_render: 'radiance' — photos are plain TBL lookups (view-independent;
+        fine for pipeline plumbing, but carries NO specular signal, so
+        gt_roughness is unrecoverable from such data); 'material' — photos
+        are rendered through the forward material model from the GT atlases
+        (render_pano_material), the synthetic-data contract the reference's
+        Mat-syn metrics assume (path-traced GT from GT materials)."""
     from texir_code_tpu.models.tbl import build_tbl
 
     root = out_dir
@@ -110,11 +221,54 @@ def export_reference_layout(
             for row in e:
                 f.write(" ".join(f"{x:.6f}" for x in row) + "\n")
 
+    gt_irt = None
+    fan_scene = cluster_scene = None
+    if gt_render == "material":
+        import jax as _jax
+
+        from texir_code_tpu.models.tracer_irt import (
+            IrradianceTextureBaker,
+            bake_geometry_textures,
+        )
+        from texir_code_tpu.ops.postprocess import pad_texture
+
+        if _jax.default_backend() != "cpu":
+            from texir_code_tpu.geometry.bvh import build_bvh
+            from texir_code_tpu.ops.fan_raycast import FanScene
+            from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+            fb = build_bvh(scene.mesh.vertices, scene.mesh.faces)
+            fan_scene = FanScene.from_flat(
+                fb, triangle_uvs=scene.mesh.triangle_uvs()
+            )
+            cluster_scene = ClusterScene.from_fan(fan_scene, lb=4, dense=True)
+        res_irt = scene.hdr_texture.shape[0]
+        baker = IrradianceTextureBaker(
+            tbl, spp=irt_spp, texel_batch=4096,
+            fan_scene=fan_scene, cluster_scene=cluster_scene,
+            max_leaves=fan_scene.num_leaves if fan_scene is not None else 768,
+        )
+        geom = bake_geometry_textures(scene.mesh, res_irt)
+        gt_irt = pad_texture(
+            baker.bake(geom, _jax.random.PRNGKey(7)), geom.valid
+        )
+        hdrio.write_hdr(
+            os.path.join(mesh_dir, "gt_irt.hdr"), gt_irt, flip=True
+        )
+
     h, w = pano_res
     for vid, cam in zip(ids, cams):
         os.makedirs(os.path.join(root, "derived", vid), exist_ok=True)
         os.makedirs(os.path.join(root, "hdr", vid), exist_ok=True)
-        color = render_pano(tbl, cam, pano_res)
+        if gt_render == "material":
+            color = render_pano_material(
+                scene.mesh, tbl, gt_irt, scene.gt_albedo,
+                scene.gt_roughness, cam, pano_res, spp=gt_spp,
+                seed=int(vid[-3:]),
+                fan_scene=fan_scene, cluster_scene=cluster_scene,
+            )
+        else:
+            color = render_pano(tbl, cam, pano_res)
         hdrio.write_hdr(os.path.join(root, "hdr", vid, "ccm.hdr"), color)
         # LDR preview with full-opacity alpha mask
         ldr = (hdrio.tonemap_to_ldr(color) * 255).astype(np.uint8)

@@ -346,12 +346,27 @@ def make_apartment_scene(
         gt_albedo[rows, cols] = wall_colors[k]
         gt_rough[rows, cols] = wall_rough[k]
         seg[rows, cols] = k
-    # one lamp per room on the ceiling chart (cell 1): u spans the x axis
+    # one lamp per room on the ceiling chart (cell 1): u spans the x axis.
+    # Lamp size and the wall sconces below are chosen so that EVERY seg
+    # class catches specular reflections of some emitter in the exported
+    # views — the material-GT renderer (data/export.render_pano_material)
+    # needs per-class highlight coverage for the stage-1 roughness
+    # propagation to have signal (reference models/loss.py:241-280 pulls
+    # each class toward the quantile of ITS OWN highlight region).
     rows, cols = _chart_slice(1, r, grid=4)
     h0 = (rows.start + rows.stop) // 2
     for ufrac in (0.28, 0.78):
         w0 = int(cols.start + ufrac * (cols.stop - cols.start))
-        hdr[h0 - r // 48 : h0 + r // 48, w0 - r // 48 : w0 + r // 48] = lamp_radiance
+        hdr[h0 - r // 20 : h0 + r // 20, w0 - r // 20 : w0 + r // 20] = lamp_radiance
+    # wall sconces: one emissive patch per vertical wall chart (cells 2-5),
+    # low on the wall so ceiling/walls across the room see its reflection
+    for k in (2, 3, 4, 5):
+        rows, cols = _chart_slice(k, r, grid=4)
+        hh = rows.stop - rows.start
+        ww = cols.stop - cols.start
+        h1 = rows.start + int(0.3 * hh)
+        w1 = cols.start + int(0.62 * ww)
+        hdr[h1 - r // 28 : h1 + r // 28, w1 - r // 28 : w1 + r // 28] = lamp_radiance
 
     return SyntheticScene(
         mesh=mesh, hdr_texture=hdr, gt_albedo=gt_albedo, gt_roughness=gt_rough,

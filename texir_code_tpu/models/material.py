@@ -68,6 +68,8 @@ RENDER_KNOBS = (
     # two_pass_cut ~0.25-0.3 pays only on multi-room scenes (PERF.md round 3)
     "spec_fan_block", "spec_exit_rows", "spec_row_width",
     "spec_two_pass_cut", "spec_two_pass_cap",
+    # occlusion proxy (k largest tris seed per-ray t bounds; 0 = off)
+    "proxy_k",
     # primary-visibility G-buffer kernel shape (er=1 LOSES here; PERF.md)
     "gbuf_fan_block", "gbuf_exit_rows", "gbuf_row_width",
     # 'prefiltered' (1 u32 gather/ray) or 'exact' bilinear radiance fetch
@@ -215,6 +217,10 @@ class MaterialModel:
         self.gbuf_fan_block = 8
         self.gbuf_exit_rows = 0
         self.gbuf_row_width = 2048
+        # occlusion proxy: pre-trace rays against the scene's k largest
+        # triangles to seed per-ray t upper bounds in the culled kernels
+        # (exact; pays on multi-room scans — ClusterScene.proxy_from_fan)
+        self.proxy_k = 0
         from texir_code_tpu.models.tbl import rgbe_prefilter
 
         self._rgbe_pre = rgbe_prefilter(self.tbl.planes, 2)
@@ -252,6 +258,10 @@ class MaterialModel:
             if not hasattr(self, k):
                 raise ValueError(f"unknown render knob: {k}")
             setattr(self, k, v)
+        self.proxy_scene = (
+            ClusterScene.proxy_from_fan(self.fan_scene, k=int(self.proxy_k))
+            if self.proxy_k else None
+        )
 
         self._jitted = {}
 
@@ -313,6 +323,7 @@ class MaterialModel:
                 fan_block=self.gbuf_fan_block,
                 exit_rows=self.gbuf_exit_rows,
                 row_width=self.gbuf_row_width,
+                proxy=self.proxy_scene if self.use_pallas else None,
             )
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -347,6 +358,7 @@ class MaterialModel:
                     t_min=1e-6,
                     fan_block=8,
                     interpret=resolve_interpret(),
+                    proxy=self.proxy_scene,
                 )
                 return (
                     h.t.reshape(-1), h.prim.reshape(-1),
@@ -664,6 +676,7 @@ class MaterialModel:
             row_width=self.spec_row_width,
             two_pass_cut=self.spec_two_pass_cut,
             two_pass_cap=self.spec_two_pass_cap,
+            proxy=self.proxy_scene,
         )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh

@@ -339,6 +339,7 @@ def query_tbl_stream(
     row_width: int = 2048,
     two_pass_cut: Optional[float] = None,
     two_pass_cap: float = 0.125,
+    proxy=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """TBL query on the Pallas per-ray kernels.
 
@@ -390,6 +391,7 @@ def query_tbl_stream(
                 interpret=resolve_interpret(),
                 cut_frac=two_pass_cut,
                 cap_frac=two_pass_cap,
+                proxy=proxy,
             )
         else:
             hit = cast_fans_culled(
@@ -401,6 +403,7 @@ def query_tbl_stream(
                 exit_rows=exit_rows,
                 emit_uv=emit_uv,
                 interpret=resolve_interpret(),
+                proxy=proxy,
             )
     else:
         emit_uv = (
@@ -444,6 +447,7 @@ def query_tbl_auto(
     row_width: int = 2048,
     two_pass_cut: Optional[float] = None,
     two_pass_cap: float = 0.125,
+    proxy=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dispatch: Pallas culled/stream kernels on TPU (when a scene is given
     and shapes divide by 128), XLA skip-link traversal otherwise."""
@@ -462,6 +466,7 @@ def query_tbl_auto(
             cluster_scene=cluster_scene, fan_block=fan_block,
             exit_rows=exit_rows, row_width=row_width,
             two_pass_cut=two_pass_cut, two_pass_cap=two_pass_cap,
+            proxy=proxy,
         )
     return query_tbl_soa(tbl, origins, dirs, t_valid)
 

@@ -259,6 +259,13 @@ class IrradianceTextureBaker:
         # building visit ratio 0.48 at cut=0.3); None = single pass.
         self.two_pass_cut: Optional[float] = None
         self.two_pass_cap = 0.125
+        # occlusion proxy (ops.pallas_culled.ClusterScene.proxy_from_fan):
+        # the scene's k largest triangles, traced first to seed per-ray t
+        # upper bounds — each exit group's occlusion exit then fires at the
+        # walls of its own room instead of streaming the scene's far tail.
+        # Exact; pays on multi-room scans (like two_pass_cut, which it can
+        # replace or compose with).  None = off.
+        self.proxy_scene = None
         # Interpolate the hit's atlas uv inside the culled kernel (rows carry
         # per-triangle uv coefficients) instead of a post-pass barycentric
         # uv lerp.  Measured on v5e: the 6-gather uv lerp is a *dependent*
@@ -336,6 +343,7 @@ class IrradianceTextureBaker:
                 exit_rows=self.exit_rows,
                 cut_frac=self.two_pass_cut,
                 cap_frac=self.two_pass_cap,
+                proxy=self.proxy_scene,
             )
         else:
             hit = cast_fans_culled(
@@ -344,6 +352,7 @@ class IrradianceTextureBaker:
                 interpret=self.pallas_interpret,
                 fan_block=self.fan_block,
                 exit_rows=self.exit_rows,
+                proxy=self.proxy_scene,
             )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
         if emit_uv:

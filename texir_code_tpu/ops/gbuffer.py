@@ -178,6 +178,7 @@ def render_gbuffer(
     fan_block: int = 8,
     exit_rows: int = 0,
     row_width: int = 2048,
+    proxy=None,
 ) -> GBuffer:
     """Render cube-face G-buffers by primary-ray casting.
 
@@ -213,6 +214,7 @@ def render_gbuffer(
             tuple(jnp.broadcast_to(cam_position[k], (rows,)) for k in range(3)),
             tuple(flat_dirs[:, k].reshape(rows, r_split) for k in range(3)),
             t_min=1e-6,
+            proxy=proxy,
             fan_block=fan_block,
             exit_rows=exit_rows,
             interpret=resolve_interpret(),

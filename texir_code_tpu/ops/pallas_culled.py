@@ -112,6 +112,44 @@ class ClusterScene:
         if dense:
             rows = _densepack_rows(rows, has_uv)
             l = rows.shape[0]
+        return cls._from_rows(rows, lb, has_uv, fan.diameter)
+
+    @classmethod
+    def proxy_from_fan(
+        cls, fan: FanScene, k: int = 1024, lb: int = 8
+    ) -> "ClusterScene":
+        """Occlusion proxy: the scene's k largest-area triangles.
+
+        In an indoor scan the biggest triangles are the walls/floors/
+        ceilings that occlude nearly everything; tracing rays against this
+        tiny subset FIRST gives every ray a conservative upper bound on its
+        true hit t (proxy triangles ARE scene triangles, so a proxy hit is
+        a valid — just possibly non-closest — hit).  Feeding that hit state
+        into cast_fans_culled(seed=...) starts each exit group's occlusion
+        threshold at ~room scale instead of inf, so the candidate walk
+        stops at the walls of the ray's own room rather than streaming the
+        scene's far tail.  Exactness is preserved (see cast_fans_culled).
+        """
+        rows = getattr(fan, "rows_np", None)
+        if rows is None:
+            rows = np.asarray(fan.rows)
+        has_uv = rows.shape[1] >= FAN_ROW_WIDTH_UV
+        prims = rows[:, 8:12].view(np.int32)
+        li, ki = np.nonzero(prims >= 0)
+        # |n| = |e1 x e2| = 2*area — the plane rows carry n directly
+        base = _TRI_BASE + _TRI_STRIDE * ki
+        n = rows[li[:, None], base[:, None] + np.arange(3)]
+        area = np.sqrt((n * n).sum(-1))
+        k = min(k, len(li))
+        top = np.argsort(-area)[:k]
+        # keep DFS order inside the proxy (spatial coherence for its cull)
+        top = np.sort(top)
+        packed = _densepack_rows(rows, has_uv, li=li[top], ki=ki[top])
+        return cls._from_rows(packed, lb, has_uv, fan.diameter)
+
+    @classmethod
+    def _from_rows(cls, rows, lb, has_uv, diameter) -> "ClusterScene":
+        l, w = rows.shape
         c = (l + lb - 1) // lb
         rows3 = np.zeros((c, lb, _ROW_PAD), np.float32)
         rows3[:, :, :w].reshape(c * lb, w)[:l] = rows
@@ -147,21 +185,25 @@ class ClusterScene:
             prims3=jnp.asarray(prims3),
             cluster_lo=jnp.asarray(lo),
             cluster_hi=jnp.asarray(hi),
-            diameter=fan.diameter,
+            diameter=diameter,
             lb=lb,
             has_uv=has_uv,
         )
 
 
-def _densepack_rows(rows: np.ndarray, has_uv: bool) -> np.ndarray:
+def _densepack_rows(
+    rows: np.ndarray, has_uv: bool, li=None, ki=None
+) -> np.ndarray:
     """Repack leaf rows' valid triangles densely, 4 per row, DFS order.
 
     Cols 12:72 are four contiguous stride-15 triangle records and 72:96
     four 6-float uv records, so the repack is a flat reshape; cols 0:6
-    (row AABB) become the union of each triangle's source-leaf AABB."""
+    (row AABB) become the union of each triangle's source-leaf AABB.
+    li/ki optionally select a triangle subset (row, slot indices)."""
     l, w = rows.shape
     prims = rows[:, 8:12].view(np.int32)  # [L, 4]
-    li, ki = np.nonzero(prims >= 0)  # row-major → DFS triangle order
+    if li is None:
+        li, ki = np.nonzero(prims >= 0)  # row-major → DFS triangle order
     n = len(li)
     l2 = (n + 3) // 4
     npad = l2 * 4
@@ -247,12 +289,10 @@ def tile_rows(x: jnp.ndarray, g: int) -> jnp.ndarray:
 def _culled_kernel(
     count_ref, cand_ref, dist_ref, tcap_ref,
     o_ref, dx_ref, dy_ref, dz_ref,
-    rows_hbm, prims_hbm,
-    t_ref, prim_ref, u_ref, v_ref,
-    rows_s, prims_s, sem,
-    *, lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
+    *rest,
+    lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
     fast_recip: bool = True, debug_emit_visits: bool = False,
-    exit_rows: int = 0, emit_prim: bool = True,
+    exit_rows: int = 0, emit_prim: bool = True, seeded: bool = False,
 ):
     """Per-group candidate walks with occlusion early exit.
 
@@ -279,9 +319,25 @@ def _culled_kernel(
     emit_prim=False skips the prim-id DMA and the per-triangle prim select
     entirely — the uv-emitting estimator never reads prim, and dropping it
     halves the per-candidate DMA traffic.  prim_ref is then all -1.
+
+    seeded=True initializes the hit accumulators from extra seed inputs
+    (an occlusion-proxy pre-trace, see ClusterScene.proxy_from_fan) instead
+    of inf/-1/0: each group's exit threshold then starts at the worst
+    proxy hit instead of inf, so the walk stops at the walls of the rays'
+    own room.  Exact — seed hits are real scene hits, and the strict
+    `t < t_best` keeps them unless a genuinely closer triangle appears.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    rest = list(rest)
+    if seeded:
+        t0_ref = rest.pop(0)
+        p0_ref = rest.pop(0) if emit_prim else None
+        u0_ref = rest.pop(0)
+        v0_ref = rest.pop(0)
+    rows_hbm, prims_hbm, t_ref, prim_ref, u_ref, v_ref, \
+        rows_s, prims_s, sem = rest
 
     c_max = cand_ref.shape[-1]
     t_cap = tcap_ref[0, 0, 0]
@@ -307,10 +363,18 @@ def _culled_kernel(
         return cps
 
     # the output refs ARE the hit accumulators
-    t_ref[:] = jnp.full((tf, r), jnp.inf, jnp.float32)
-    prim_ref[:] = jnp.full((tf, r), -1, jnp.int32)
-    u_ref[:] = jnp.zeros((tf, r), jnp.float32)
-    v_ref[:] = jnp.zeros((tf, r), jnp.float32)
+    if seeded:
+        t_ref[:] = t0_ref[:]
+        prim_ref[:] = p0_ref[:] if emit_prim else jnp.full(
+            (tf, r), -1, jnp.int32
+        )
+        u_ref[:] = u0_ref[:]
+        v_ref[:] = v0_ref[:]
+    else:
+        t_ref[:] = jnp.full((tf, r), jnp.inf, jnp.float32)
+        prim_ref[:] = jnp.full((tf, r), -1, jnp.int32)
+        u_ref[:] = jnp.zeros((tf, r), jnp.float32)
+        v_ref[:] = jnp.zeros((tf, r), jnp.float32)
 
     def process_group(g, slot):
         """Test the streamed cluster's lb*4 triangles against rows g."""
@@ -469,6 +533,8 @@ def cast_fans_culled(
     emit_prim: Optional[bool] = None,
     t_cap_frac: Optional[float] = None,
     cull=None,
+    seed: Optional[RayHit] = None,
+    proxy: Optional[ClusterScene] = None,
 ) -> RayHit:
     """Closest-hit trace of wedge rows with culled, early-exiting clusters.
 
@@ -483,12 +549,29 @@ def cast_fans_culled(
             hits with t <= t_cap_frac·diameter are exact; rays beyond are
             left unresolved (t may be inf or a too-far hit) — the two-pass
             entry point (cast_fans_culled_twopass) re-traces them.
+        seed: optional RayHit [T', R] of VALID (but possibly non-closest)
+            hits used to initialize the kernel's accumulators — per-ray t
+            upper bounds that (a) let each group's occlusion exit fire from
+            the first visit and (b) truncate the candidate lists at cull
+            time (clusters whose distance bound >= the group's worst seed t
+            provably cannot improve any ray).  Exact.
+        proxy: optional occlusion-proxy ClusterScene
+            (ClusterScene.proxy_from_fan) traced internally to produce
+            `seed` when seed is None.  Must match emit_uv (has_uv).
     Returns:
         RayHit of shape [T', R] — exact closest hits (when t_cap_frac
         covers the scene).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if proxy is not None and seed is None:
+        seed = cast_fans_culled(
+            proxy, origins, dirs, t_min=t_min, fan_block=fan_block,
+            interpret=interpret, emit_uv=emit_uv, per_ray=per_ray,
+            fast_recip=fast_recip, exit_rows=exit_rows,
+            emit_prim=emit_prim,
+        )
 
     tp, r = dirs[0].shape
     tf = fan_block
@@ -553,14 +636,42 @@ def cast_fans_culled(
     # exit threshold cap = scene diameter (+ margin for surface-eps offset
     # origins): no real hit can be farther, so miss rays can't pin the exit
     cap_frac = 1.05 if t_cap_frac is None else t_cap_frac
-    tcap = jnp.reshape(
-        cap_frac * scene.diameter.astype(jnp.float32), (1, 1, 1)
-    )
+    capv = cap_frac * scene.diameter.astype(jnp.float32)
+    tcap = jnp.reshape(capv, (1, 1, 1))
+
+    seed_in = ()
+    if seed is not None:
+        def pad_seed(a, fill):
+            a = a[:tp]
+            if t_pad:
+                a = jnp.concatenate(
+                    [a, jnp.full((t_pad, r), fill, a.dtype)]
+                )
+            return a
+
+        st = pad_seed(seed.t, jnp.inf)
+        su = pad_seed(seed.u, 0.0)
+        sv = pad_seed(seed.v, 0.0)
+        seed_in = (st,) + (
+            (pad_seed(seed.prim, -1),) if emit_prim else ()
+        ) + (su, sv)
+        if not (debug_no_cull or debug_no_exit):
+            # clusters whose distance bound >= the group's worst seed t
+            # cannot strictly improve any ray in the group (hit t >= bound
+            # >= every ray's current t_best): drop them from the walk at
+            # cull time — dist is sorted, so shrinking count truncates
+            bound = jnp.minimum(
+                st.reshape(rb, ng, tf // ng, r).max(axis=(2, 3)), capv
+            )
+            count = jnp.sum(
+                dist < bound[:, :, None], axis=-1, keepdims=True
+            ).astype(jnp.int32)
+
     kernel = functools.partial(
         _culled_kernel, lb=lb, t_min=t_min, emit_uv=emit_uv,
         per_ray_origins=per_ray, fast_recip=fast_recip,
         debug_emit_visits=debug_emit_visits, exit_rows=er,
-        emit_prim=emit_prim,
+        emit_prim=emit_prim, seeded=seed is not None,
     )
     out_shape = [
         jax.ShapeDtypeStruct((tp + t_pad, r), jnp.float32),
@@ -580,6 +691,9 @@ def cast_fans_culled(
             pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tf, o_width), lambda b: (b, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
+        ]
+        + [row_spec] * len(seed_in)
+        + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -591,7 +705,7 @@ def cast_fans_culled(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(count, cand, dist, tcap, o_pack, d[0], d[1], d[2],
+    )(count, cand, dist, tcap, o_pack, d[0], d[1], d[2], *seed_in,
       scene.rows3, scene.prims3)
 
     return RayHit(t=t[:tp], prim=prim[:tp], u=u[:tp], v=v[:tp])
@@ -690,6 +804,7 @@ def cast_fans_culled_twopass(
     cut_frac: float = 0.3,
     cap_frac: float = 0.125,
     per_ray: bool = False,
+    proxy: Optional[ClusterScene] = None,
 ) -> RayHit:
     """Exact closest-hit trace in two passes — per-RAY early termination.
 
@@ -746,7 +861,7 @@ def cast_fans_culled_twopass(
     hit1 = cast_fans_culled(
         scene, o_rows, d, t_min=t_min, fan_block=tf, exit_rows=exit_rows,
         emit_uv=emit_uv, interpret=interpret, t_cap_frac=cut_frac,
-        cull=cull, per_ray=per_ray,
+        cull=cull, per_ray=per_ray, proxy=proxy,
     )
 
     diam = scene.diameter.astype(jnp.float32)
@@ -784,6 +899,7 @@ def cast_fans_culled_twopass(
         hit2 = cast_fans_culled(
             scene, o2, d2, t_min=t_min, fan_block=tf, exit_rows=exit_rows,
             emit_uv=emit_uv, interpret=interpret, per_ray=True,
+            proxy=proxy,
         )
         # re-traced FINAL rays that padded the capacity produce identical
         # results, so all cap_rays slots scatter back unconditionally
@@ -801,7 +917,7 @@ def cast_fans_culled_twopass(
         h = cast_fans_culled(
             scene, o_rows, d, t_min=t_min, fan_block=tf,
             exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
-            per_ray=per_ray,
+            per_ray=per_ray, proxy=proxy,
         )
         return h.t, h.prim, h.u, h.v
 

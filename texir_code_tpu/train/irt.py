@@ -68,6 +68,9 @@ class IrrTextureRunner:
         exit_rows = conf.get_int("train.bake_exit_rows", default=16)
         two_pass_cut = conf.get("train.two_pass_cut", None)
         two_pass_cap = conf.get_float("train.two_pass_cap", default=0.125)
+        # occlusion proxy: pre-trace against the scene's k largest triangles
+        # to seed per-ray t bounds (exact; pays on multi-room scans)
+        proxy_k = conf.get_int("train.bake_proxy_k", default=0)
         texel_batch = conf.get_int("train.texel_batch", default=4096)
         wedges = conf.get_int("train.bake_wedges", default=4)
         fan = None
@@ -115,6 +118,12 @@ class IrrTextureRunner:
         self.baker.exit_rows = exit_rows
         self.baker.two_pass_cut = two_pass_cut
         self.baker.two_pass_cap = two_pass_cap
+        if proxy_k and fan is not None:
+            from texir_code_tpu.ops.pallas_culled import ClusterScene
+
+            self.baker.proxy_scene = ClusterScene.proxy_from_fan(
+                fan, k=proxy_k
+            )
         self.texture_res = texture_res
         self._geom = bake_geometry_textures(self.mesh, texture_res)
 
