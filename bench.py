@@ -123,8 +123,9 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     return n_meas * batch * SPP / dt / 1e6, syn.mesh.num_faces
 
 
-def _mat_step(syn):
-    """Full-shape Mat stage-2 training step: iters/s."""
+def _mat_step(syn, render_knobs=None):
+    """Full-shape Mat stage-2 training step: iters/s (plus the one-time
+    per-view precompute cost, reported separately as mat_first_epoch)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -140,7 +141,7 @@ def _mat_step(syn):
     irt = np.maximum(syn.hdr_texture, 0.1)  # stand-in IrT at atlas res
     model = MaterialModel(
         syn.mesh, syn.hdr_texture, irt, pano_res=(256, 512),
-        sample_light=(32, 16),
+        sample_light=(32, 16), render_knobs=render_knobs,
     )
     params = init_material_params(2048, 4096)
     pos = jnp.asarray(syn.camera_positions(1)[0])
@@ -157,8 +158,21 @@ def _mat_step(syn):
     # G-buffer + LODs — camera-only functions) out of the step and scans
     # epochs over the cached views (train/material.py::_stack_epoch_data);
     # bit-identical to retracing in-step (tests/test_pipeline.py::
-    # test_mat_fused_epoch_matches_per_step)
-    view = jax.jit(model.precompute_view)(params, mvp, pos)
+    # test_mat_fused_epoch_matches_per_step).  The precompute is a one-time
+    # first-epoch cost — timed below (VERDICT r2 weak #4: the cached-step
+    # metric alone hides it).
+    jview = jax.jit(model.precompute_view)
+    view = jview(params, mvp, pos)
+    jax.block_until_ready(view)
+    pre_dt = float("inf")
+    for r in range(3):
+        ext2 = np.eye(4, dtype=np.float32)
+        ext2[0:3, 3] = np.asarray(pos) + 0.01 * (r + 1)  # vary input (relay)
+        mvp2 = cube_mvp(jnp.asarray(ext2))
+        t0 = time.time()
+        v2 = jview(params, mvp2, jnp.asarray(ext2[0:3, 3]))
+        jax.block_until_ready(v2)
+        pre_dt = min(pre_dt, time.time() - t0)
 
     def step(p, opt_state, key):
         def loss_fn(pp):
@@ -198,7 +212,7 @@ def _mat_step(syn):
         params, opt_state, losses = jsteps(params, opt_state, jnp.int32(r + 1))
         jax.block_until_ready(losses)
         best = min(best, time.time() - t0)
-    return n / best
+    return n / best, pre_dt
 
 
 def main():
@@ -218,7 +232,7 @@ def main():
         big, n_meas=2, fan_block=16, exit_rows=8, two_pass_cut=0.25
     )
 
-    mat_ips = _mat_step(apt)
+    mat_ips, mat_pre = _mat_step(apt)
 
     print(
         json.dumps(
@@ -231,6 +245,12 @@ def main():
                     "value": round(mat_ips, 3),
                     "unit": "iters/s",
                     "workload": "6x128^2 px, 16 spp, 2048^2+4096^2 atlases, stage 2",
+                },
+                "mat_first_epoch": {
+                    "value": round(mat_pre, 3),
+                    "unit": "s/view",
+                    "note": "one-time per-view G-buffer+LOD precompute "
+                            "(amortized across all epochs by the view cache)",
                 },
                 "big_scene": {
                     "value": round(big_mrays, 2),

@@ -109,6 +109,29 @@ def main():
             m = bake_mrays(syn, **cfg)
             print(f"  {cfg} -> {m:.2f} Mrays/s", flush=True)
 
+    if which == "shape":
+        # broad kernel-shape sweep on the building (round-3: binning and
+        # largest-K proxies both lose; remaining levers are block shape and
+        # two-pass composition)
+        syn = make_building_scene(atlas_res=256, subdiv=28)
+        print(f"building: {syn.mesh.num_faces} tris", flush=True)
+        for cfg in [
+            dict(fan_block=8, lb=4, exit_rows=8),
+            dict(fan_block=8, lb=2, exit_rows=8),
+            dict(fan_block=16, lb=2, exit_rows=8),
+            dict(fan_block=8, lb=4, exit_rows=8, wedges=8),
+            dict(fan_block=16, lb=4, exit_rows=8, wedges=8),
+            dict(fan_block=8, lb=4, exit_rows=8, two_pass_cut=0.25),
+            dict(fan_block=8, lb=2, exit_rows=8, two_pass_cut=0.25),
+            dict(fan_block=8, lb=4, exit_rows=8, wedges=8,
+                 two_pass_cut=0.25),
+            dict(fan_block=16, lb=4, exit_rows=8, wedges=8,
+                 two_pass_cut=0.25),
+            dict(fan_block=16, lb=2, exit_rows=8, two_pass_cut=0.25),
+        ]:
+            m = bake_mrays(syn, **cfg)
+            print(f"  {cfg} -> {m:.2f} Mrays/s", flush=True)
+
     if which in ("apartment", "both"):
         syn = make_apartment_scene(atlas_res=256, subdiv=24)
         print(f"apartment: {syn.mesh.num_faces} tris", flush=True)

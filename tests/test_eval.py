@@ -259,3 +259,50 @@ def test_msssim_and_gradient_loss(rng):
     assert float(gradient_loss(a, a)) == 0.0
     # constant (unclipped) offset has no finite-difference gradient
     assert float(gradient_loss(a, a + 0.1)) < 1e-6
+
+
+def test_reference_spp_chunked_parity(trained_env):
+    """Reference eval spp (sample_light=[1024, 256], configs/test.conf:10)
+    through the pixel-chunked shading path: chunked == unchunked (VERDICT
+    r2 #5 — the largest spp any test used before was 16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from texir_code_tpu.eval.renderer import EvalMaterialModel
+    from texir_code_tpu.models.material import init_material_params
+    from texir_code_tpu.ops.gbuffer import cube_mvp
+
+    scene, root, path_mesh, conf, exps = trained_env
+    irt = np.maximum(scene.hdr_texture, 0.1)
+    kw = dict(
+        pano_res=(16, 32), sample_light=(1024, 256),
+        seg_texture=scene.seg_texture,
+    )
+    model = EvalMaterialModel(
+        scene.mesh, scene.hdr_texture, irt, shade_chunk=64, **kw
+    )
+    params = init_material_params(32, 32)
+    ext = np.eye(4, dtype=np.float32)
+    ext[0:3, 3] = scene.camera_positions(1)[0]
+    mvp = cube_mvp(jnp.asarray(ext))
+    pos = jnp.asarray(ext[0:3, 3])
+    key = jax.random.PRNGKey(5)
+
+    out_c = model.forward(params, mvp, pos, 2, key)
+    model_u = EvalMaterialModel(
+        scene.mesh, scene.hdr_texture, irt, shade_chunk=None, **kw
+    )
+    out_u = model_u.forward(params, mvp, pos, 2, key)
+    np.testing.assert_allclose(
+        np.asarray(out_c["rgb"]), np.asarray(out_u["rgb"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    assert np.isfinite(np.asarray(out_c["rgb"])).all()
+
+    # relit live-MC diffuse at 1024 spp through the same chunked path
+    relit_c = model.forward_relit(params, mvp, pos, key)
+    relit_u = model_u.forward_relit(params, mvp, pos, key)
+    np.testing.assert_allclose(
+        np.asarray(relit_c["rgb"]), np.asarray(relit_u["rgb"]),
+        rtol=2e-5, atol=2e-6,
+    )
