@@ -19,7 +19,8 @@ import numpy as np
 
 
 def bake_mrays(syn, *, fan_block, lb, exit_rows, two_pass_cut=None,
-               proxy_k=0, n_meas=2, batch=4096, spp=2048, wedges=4):
+               proxy_k=0, n_meas=2, batch=4096, spp=2048, wedges=4,
+               two_pass_cut2=None, two_pass_cap=0.125, two_pass_cap2=0.25):
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +47,9 @@ def bake_mrays(syn, *, fan_block, lb, exit_rows, two_pass_cut=None,
     baker.fan_block = fan_block
     baker.exit_rows = exit_rows
     baker.two_pass_cut = two_pass_cut
+    baker.two_pass_cut2 = two_pass_cut2
+    baker.two_pass_cap = two_pass_cap
+    baker.two_pass_cap2 = two_pass_cap2
     if proxy_k:
         baker.proxy_scene = ClusterScene.proxy_from_fan(fan, k=proxy_k)
 
@@ -128,6 +132,40 @@ def main():
             dict(fan_block=16, lb=4, exit_rows=8, wedges=8,
                  two_pass_cut=0.25),
             dict(fan_block=16, lb=2, exit_rows=8, two_pass_cut=0.25),
+        ]:
+            m = bake_mrays(syn, **cfg)
+            print(f"  {cfg} -> {m:.2f} Mrays/s", flush=True)
+
+    if which == "ladder":
+        # 3-pass cut ladders on the building + the >=300k-tri 30-room scene
+        syn = make_building_scene(atlas_res=256, subdiv=28)
+        print(f"building: {syn.mesh.num_faces} tris", flush=True)
+        for cfg in [
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.25),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.1,
+                 two_pass_cut2=0.3, two_pass_cap=0.35),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.15,
+                 two_pass_cut2=0.35, two_pass_cap=0.3),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.15,
+                 two_pass_cut2=0.3, two_pass_cap=0.25),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.2,
+                 two_pass_cut2=0.45, two_pass_cap=0.25),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.12,
+                 two_pass_cut2=0.3, two_pass_cap=0.35, two_pass_cap2=0.3),
+        ]:
+            m = bake_mrays(syn, **cfg)
+            print(f"  {cfg} -> {m:.2f} Mrays/s", flush=True)
+
+    if which == "huge":
+        syn = make_building_scene(atlas_res=256, rooms=(6, 5), subdiv=28)
+        print(f"30-room building: {syn.mesh.num_faces} tris", flush=True)
+        for cfg in [
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.25,
+                 n_meas=1),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.12,
+                 two_pass_cut2=0.3, two_pass_cap=0.35, n_meas=1),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.08,
+                 two_pass_cut2=0.2, two_pass_cap=0.4, n_meas=1),
         ]:
             m = bake_mrays(syn, **cfg)
             print(f"  {cfg} -> {m:.2f} Mrays/s", flush=True)

@@ -454,3 +454,25 @@ def test_twopass_proxy_matches(scene):
     np.testing.assert_array_equal(base.t, got.t)
     np.testing.assert_array_equal(base.u, got.u)
     np.testing.assert_array_equal(base.v, got.v)
+
+
+def test_threepass_matches_single(scene):
+    """3-pass ladder (cut_frac2): the straggler re-trace itself runs as a
+    two-pass; results must stay bit-equal to the single pass."""
+    from texir_code_tpu.ops.pallas_culled import cast_fans_culled_twopass
+
+    syn, bvh, fan, clusters = scene
+    origins, normals, dirs = _fan_batch(syn, t=8, s=256, seed=31)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 2) for a in ds)
+    rows_o = tuple(tile_rows(a, 2) for a in origins)
+    base = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, fan_block=8, emit_uv=True,
+    )
+    got = cast_fans_culled_twopass(
+        clusters, rows_o, rows_d, interpret=True, fan_block=8, emit_uv=True,
+        cut_frac=0.3, cap_frac=0.5, cut_frac2=0.6, cap_frac2=0.5,
+    )
+    np.testing.assert_array_equal(base.t, got.t)
+    np.testing.assert_array_equal(base.u, got.u)
+    np.testing.assert_array_equal(base.v, got.v)

@@ -259,6 +259,10 @@ class IrradianceTextureBaker:
         # building visit ratio 0.48 at cut=0.3); None = single pass.
         self.two_pass_cut: Optional[float] = None
         self.two_pass_cap = 0.125
+        # optional second level (3-pass ladder): the straggler re-trace
+        # itself truncates at two_pass_cut2 and re-compacts its own tail
+        self.two_pass_cut2: Optional[float] = None
+        self.two_pass_cap2 = 0.25
         # occlusion proxy (ops.pallas_culled.ClusterScene.proxy_from_fan):
         # the scene's k largest triangles, traced first to seed per-ray t
         # upper bounds — each exit group's occlusion exit then fires at the
@@ -344,6 +348,8 @@ class IrradianceTextureBaker:
                 cut_frac=self.two_pass_cut,
                 cap_frac=self.two_pass_cap,
                 proxy=self.proxy_scene,
+                cut_frac2=self.two_pass_cut2,
+                cap_frac2=self.two_pass_cap2,
             )
         else:
             hit = cast_fans_culled(

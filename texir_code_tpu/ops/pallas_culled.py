@@ -789,7 +789,7 @@ def cull_blocks(scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int):
     jax.jit,
     static_argnames=(
         "t_min", "fan_block", "exit_rows", "emit_uv", "interpret",
-        "cut_frac", "cap_frac", "per_ray",
+        "cut_frac", "cap_frac", "per_ray", "cut_frac2", "cap_frac2",
     ),
 )
 def cast_fans_culled_twopass(
@@ -805,6 +805,8 @@ def cast_fans_culled_twopass(
     cap_frac: float = 0.125,
     per_ray: bool = False,
     proxy: Optional[ClusterScene] = None,
+    cut_frac2: Optional[float] = None,
+    cap_frac2: float = 0.25,
 ) -> RayHit:
     """Exact closest-hit trace in two passes — per-RAY early termination.
 
@@ -838,6 +840,11 @@ def cast_fans_culled_twopass(
         cut_frac: pass-1 walk truncation, fraction of scene diameter.
         cap_frac: straggler row capacity, fraction of T (rounded up to
             whole fan blocks).
+        cut_frac2: optional SECOND truncation level — the straggler
+            re-trace itself runs as a two-pass at this cut (a 3-pass
+            ladder: cheap near walk for everyone, medium walk for the
+            minority, full walk for the tail).  cap_frac2 is the inner
+            straggler capacity (fraction of the compacted rows).
     """
     tp, r = dirs[0].shape
     tf = fan_block
@@ -896,11 +903,19 @@ def cast_fans_culled_twopass(
         o2 = tuple(a[sel // r].reshape(cap_rows, r) for a in o_rows)
 
     def two_pass():
-        hit2 = cast_fans_culled(
-            scene, o2, d2, t_min=t_min, fan_block=tf, exit_rows=exit_rows,
-            emit_uv=emit_uv, interpret=interpret, per_ray=True,
-            proxy=proxy,
-        )
+        if cut_frac2 is not None:
+            hit2 = cast_fans_culled_twopass(
+                scene, o2, d2, t_min=t_min, fan_block=tf,
+                exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
+                per_ray=True, proxy=proxy, cut_frac=cut_frac2,
+                cap_frac=cap_frac2,
+            )
+        else:
+            hit2 = cast_fans_culled(
+                scene, o2, d2, t_min=t_min, fan_block=tf,
+                exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
+                per_ray=True, proxy=proxy,
+            )
         # re-traced FINAL rays that padded the capacity produce identical
         # results, so all cap_rays slots scatter back unconditionally
         def put(a1, a2):
