@@ -160,12 +160,14 @@ def main():
         syn = make_building_scene(atlas_res=256, rooms=(6, 5), subdiv=28)
         print(f"30-room building: {syn.mesh.num_faces} tris", flush=True)
         for cfg in [
-            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.25,
-                 n_meas=1),
-            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.12,
-                 two_pass_cut2=0.3, two_pass_cap=0.35, n_meas=1),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.05,
+                 two_pass_cut2=0.15, two_pass_cap=0.45, n_meas=1),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.06,
+                 two_pass_cut2=0.16, two_pass_cap=0.45, n_meas=1),
             dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.08,
-                 two_pass_cut2=0.2, two_pass_cap=0.4, n_meas=1),
+                 two_pass_cut2=0.16, two_pass_cap=0.4, n_meas=1),
+            dict(fan_block=16, lb=4, exit_rows=8, two_pass_cut=0.1,
+                 two_pass_cut2=0.25, two_pass_cap=0.4, n_meas=1),
         ]:
             m = bake_mrays(syn, **cfg)
             print(f"  {cfg} -> {m:.2f} Mrays/s", flush=True)

@@ -70,6 +70,9 @@ RENDER_KNOBS = (
     "spec_two_pass_cut", "spec_two_pass_cap",
     # occlusion proxy (k largest tris seed per-ray t bounds; 0 = off)
     "proxy_k",
+    # stochastic (one-level) mip sampling during training steps: unbiased
+    # estimator of trilinear that halves texture gathers + scatter-adds
+    "mip_stochastic",
     # primary-visibility G-buffer kernel shape (er=1 LOSES here; PERF.md)
     "gbuf_fan_block", "gbuf_exit_rows", "gbuf_row_width",
     # 'prefiltered' (1 u32 gather/ray) or 'exact' bilinear radiance fetch
@@ -221,6 +224,13 @@ class MaterialModel:
         # triangles to seed per-ray t upper bounds in the culled kernels
         # (exact; pays on multi-room scans — ClusterScene.proxy_from_fan)
         self.proxy_k = 0
+        # stochastic-LOD mip sampling (ops.texture.texture_sample rng=):
+        # ONE level per tap, hi with probability frac(lod) — an unbiased
+        # estimator of linear-mipmap-linear that halves the texture
+        # gather/scatter volume (the sampler backward is ~1/3 of a Mat
+        # step, PERF.md round 3).  Training-step noise class: well under
+        # the 16-spp specular MC variance.  Off = exact nvdiffrast parity.
+        self.mip_stochastic = False
         from texir_code_tpu.models.tbl import rgbe_prefilter
 
         self._rgbe_pre = rgbe_prefilter(self.tbl.planes, 2)
@@ -425,10 +435,14 @@ class MaterialModel:
     ):
         """_shade_flat with prebuilt pyramids — the chunked-eval inner body
         (pyramids are hoisted out of the lax.map loop)."""
-        albedo = texture_sample(alb_pyr, uv, lod_a)
-        roughness = texture_sample(rgh_pyr, uv, lod_r)
+        # stochastic-LOD rng rides as spec_shift column 2 (per-global-pixel
+        # keying — sharding/chunking invariant); drawn only when the knob
+        # is on, so the default path's RNG stream is untouched
+        rng = spec_shift[:, 2] if spec_shift.shape[-1] > 2 else None
+        albedo = texture_sample(alb_pyr, uv, lod_a, rng=rng)
+        roughness = texture_sample(rgh_pyr, uv, lod_r, rng=rng)
         roughness_womip = bilinear_sample(rough_base, uv)
-        irr = texture_sample(self.irt_pyramid, uv, lod_i)
+        irr = texture_sample(self.irt_pyramid, uv, lod_i, rng=rng)
         return self._stage_shade(
             albedo, roughness, roughness_womip, irr,
             normal, position, spec_shift, cam_position, stage,
@@ -529,7 +543,10 @@ class MaterialModel:
         row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(b, dtype=jnp.int32)
         )
-        spec_shift = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(row_keys)
+        # column 2 (drawn only with mip_stochastic, keeping the default RNG
+        # stream bit-identical) is the stochastic-LOD uniform (_shade_core)
+        n_u = 3 if self.mip_stochastic else 2
+        spec_shift = jax.vmap(lambda k: jax.random.uniform(k, (n_u,)))(row_keys)
 
         args = (
             params,
@@ -644,7 +661,7 @@ class MaterialModel:
         )
 
         samples = jnp.clip(
-            jnp.mod(hammersley(s_spec)[None] + spec_shift[:, None, :], 1.0),
+            jnp.mod(hammersley(s_spec)[None] + spec_shift[:, None, :2], 1.0),
             TINY_NUMBER, 1.0 - TINY_NUMBER,
         )
         half = generate_dir_soa(

@@ -339,6 +339,7 @@ def texture_sample(
     uv: jnp.ndarray,
     lod: Optional[jnp.ndarray] = None,
     boundary: str = "wrap",
+    rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample a mip pyramid with trilinear (linear-mipmap-linear) filtering.
 
@@ -349,6 +350,13 @@ def texture_sample(
         uv: [..., 2] in [0,1].
         lod: [...] mip level per sample; None → bilinear on the base level.
         boundary: texel addressing mode.
+        rng: optional [...] uniforms in [0,1) — stochastic LOD: sample ONE
+            level per tap (hi with probability frac(lod)) instead of
+            blending two.  Unbiased estimator of the trilinear result that
+            halves both the forward gathers and the backward scatter-adds
+            (XLA's TPU gather/scatter issue ~0.14 G elem/s — the dominant
+            texture cost, PERF.md).  Intended for the MC training stages,
+            whose 16-spp specular noise dwarfs the added LOD variance.
     Returns:
         [..., C]
     """
@@ -367,6 +375,12 @@ def texture_sample(
     lo = jnp.floor(lod).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, n_levels - 1)
     frac = (lod - lo.astype(lod.dtype))[..., None]
+
+    if rng is not None:
+        lvl = jnp.where(rng >= frac[..., 0], lo, hi)
+        return _flat_pyramid_fetch(
+            flat, offsets, widths, heights, lvl, uv, boundary
+        )
 
     out_lo = _flat_pyramid_fetch(flat, offsets, widths, heights, lo, uv, boundary)
     out_hi = _flat_pyramid_fetch(flat, offsets, widths, heights, hi, uv, boundary)

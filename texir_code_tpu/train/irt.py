@@ -68,6 +68,9 @@ class IrrTextureRunner:
         exit_rows = conf.get_int("train.bake_exit_rows", default=16)
         two_pass_cut = conf.get("train.two_pass_cut", None)
         two_pass_cap = conf.get_float("train.two_pass_cap", default=0.125)
+        # 3-pass ladder (pays on very large multi-room scans, PERF.md r3)
+        two_pass_cut2 = conf.get("train.two_pass_cut2", None)
+        two_pass_cap2 = conf.get_float("train.two_pass_cap2", default=0.25)
         # occlusion proxy: pre-trace against the scene's k largest triangles
         # to seed per-ray t bounds (exact; pays on multi-room scans)
         proxy_k = conf.get_int("train.bake_proxy_k", default=0)
@@ -118,6 +121,8 @@ class IrrTextureRunner:
         self.baker.exit_rows = exit_rows
         self.baker.two_pass_cut = two_pass_cut
         self.baker.two_pass_cap = two_pass_cap
+        self.baker.two_pass_cut2 = two_pass_cut2
+        self.baker.two_pass_cap2 = two_pass_cap2
         if proxy_k and fan is not None:
             from texir_code_tpu.ops.pallas_culled import ClusterScene
 
