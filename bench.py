@@ -56,7 +56,8 @@ EXIT_ROWS = 16
 
 def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
                 fan_block=FAN_BLOCK, lb=CLUSTER_ROWS, exit_rows=EXIT_ROWS,
-                two_pass_cut=None):
+                two_pass_cut=None, two_pass_cut2=None, two_pass_cap=0.125,
+                two_pass_cap2=0.25):
     """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
@@ -82,6 +83,9 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     baker.fan_block = fan_block
     baker.exit_rows = exit_rows
     baker.two_pass_cut = two_pass_cut
+    baker.two_pass_cut2 = two_pass_cut2
+    baker.two_pass_cap = two_pass_cap
+    baker.two_pass_cap2 = two_pass_cap2
 
     vr, vc = np.nonzero(geom.valid)
     from texir_code_tpu.models.tracer_irt import morton_order
@@ -232,6 +236,17 @@ def main():
         big, n_meas=2, fan_block=16, exit_rows=8, two_pass_cut=0.25
     )
 
+    # 30-room 377k-tri scan at the SAME tessellation density as `big`:
+    # per-ray visible geometry stays ~one room, so throughput decays
+    # sub-linearly (3.62x triangles -> ~2.3x decay).  The 3-pass ladder
+    # (cuts track room scale, not diameter fractions) is the measured
+    # optimum here (PERF.md round 3 second pass).
+    huge = make_building_scene(atlas_res=256, rooms=(6, 5), subdiv=28)
+    huge_mrays, huge_tris = _bake_scene(
+        huge, n_meas=1, fan_block=16, exit_rows=8,
+        two_pass_cut=0.06, two_pass_cut2=0.16, two_pass_cap=0.45,
+    )
+
     mat_ips, mat_pre = _mat_step(apt)
 
     print(
@@ -258,6 +273,14 @@ def main():
                     "triangles": int(big_tris),
                     "vs_small_scene_tris": int(tris),
                     "note": "throughput decay vs 12.7x more triangles",
+                },
+                "huge_scene": {
+                    "value": round(huge_mrays, 2),
+                    "unit": "Mrays/s/chip",
+                    "triangles": int(huge_tris),
+                    "rooms": 30,
+                    "note": "same tessellation as big_scene: 3.6x triangles,"
+                            " sub-linear decay (cost tracks visible geometry)",
                 },
             }
         )
