@@ -247,7 +247,9 @@ def main():
         two_pass_cut=0.06, two_pass_cut2=0.16, two_pass_cap=0.45,
     )
 
-    mat_ips, mat_pre = _mat_step(apt)
+    # the Mat trainers default to stochastic-LOD mip sampling (unbiased;
+    # train/material.py) — bench the production training configuration
+    mat_ips, mat_pre = _mat_step(apt, render_knobs={"mip_stochastic": True})
 
     print(
         json.dumps(

@@ -57,8 +57,9 @@ def main():
         def one(p, opt_state, key):
             def loss_fn(pp):
                 if mode == "no_texgrad":
-                    def ts(pyr, uv, lod=None, boundary="wrap"):
-                        return jax.lax.stop_gradient(orig_ts(pyr, uv, lod, boundary))
+                    def ts(pyr, uv, lod=None, boundary="wrap", rng=None):
+                        return jax.lax.stop_gradient(
+                            orig_ts(pyr, uv, lod, boundary, rng=rng))
                     M.texture_sample = ts
                 elif mode == "no_pyr":
                     def pyr_sg(tex, max_levels=None):

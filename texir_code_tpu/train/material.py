@@ -105,6 +105,12 @@ class MatTrainRunner:
         if model is None:
             from texir_code_tpu.models.material import render_knobs_from_conf
 
+            knobs = render_knobs_from_conf(conf)
+            # training default: stochastic-LOD mip sampling (unbiased
+            # estimator of trilinear, ~12% faster steps — PERF.md round 3
+            # second pass); conf models.render.mip_stochastic overrides;
+            # eval/testers keep the exact trilinear path
+            knobs.setdefault("mip_stochastic", True)
             mesh = load_obj(path_mesh)
             hdr_tex = hdrio.read_hdr(
                 path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
@@ -121,7 +127,7 @@ class MatTrainRunner:
                 hdr_exposure=hdr_exposure,
                 spmd_mesh=spmd_mesh,
                 atlas_mesh=atlas_mesh,
-                render_knobs=render_knobs_from_conf(conf),
+                render_knobs=knobs,
             )
         self.model = model
         self.params = init_material_params(albedo_res, roughness_res)
