@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="cap epochs: plumbing smoke test at full shapes")
     ap.add_argument("--skip-export", action="store_true")
+    ap.add_argument("--irrf-epochs", type=int, default=None,
+                    help="cap IRRF epochs (the Mat metrics depend on IrT, "
+                         "which bakes from the TBL, not on the IRRF field; "
+                         "capping IRRF only shortens the wall-clock)")
+    ap.add_argument("--mat-epochs", type=int, default=None)
     args = ap.parse_args()
 
     if not args.skip_export:
@@ -69,6 +74,10 @@ def main():
 
     irrf_extra = ["--max_epochs", "40"] if args.fast else []
     mat_extra = ["--max_epochs", "2"] if args.fast else []
+    if args.irrf_epochs:
+        irrf_extra = ["--max_epochs", str(args.irrf_epochs)]
+    if args.mat_epochs:
+        mat_extra = ["--max_epochs", str(args.mat_epochs)]
     irt_res = ["--irt_res", "512"]
 
     run_stage("IRRF", "configs/irrf_synthetic.conf", irrf_extra)
