@@ -73,6 +73,8 @@ RENDER_KNOBS = (
     # stochastic (one-level) mip sampling during training steps: unbiased
     # estimator of trilinear that halves texture gathers + scatter-adds
     "mip_stochastic",
+    # stochastic bilinear on top (one CORNER per tap): 8x cut vs trilinear
+    "bilinear_stochastic",
     # primary-visibility G-buffer kernel shape (er=1 LOSES here; PERF.md)
     "gbuf_fan_block", "gbuf_exit_rows", "gbuf_row_width",
     # 'prefiltered' (1 u32 gather/ray) or 'exact' bilinear radiance fetch
@@ -231,6 +233,11 @@ class MaterialModel:
         # step, PERF.md round 3).  Training-step noise class: well under
         # the 16-spp specular MC variance.  Off = exact nvdiffrast parity.
         self.mip_stochastic = False
+        # stochastic BILINEAR on top of stochastic LOD: ONE gather per
+        # texture tap (corner x1/y1 picked with probability fx/fy) — an 8x
+        # cut vs exact trilinear on both the forward gathers and the
+        # backward scatter-adds.  Unbiased; requires mip_stochastic.
+        self.bilinear_stochastic = False
         from texir_code_tpu.models.tbl import rgbe_prefilter
 
         self._rgbe_pre = rgbe_prefilter(self.tbl.planes, 2)
@@ -437,8 +444,14 @@ class MaterialModel:
         (pyramids are hoisted out of the lax.map loop)."""
         # stochastic-LOD rng rides as spec_shift column 2 (per-global-pixel
         # keying — sharding/chunking invariant); drawn only when the knob
-        # is on, so the default path's RNG stream is untouched
-        rng = spec_shift[:, 2] if spec_shift.shape[-1] > 2 else None
+        # is on, so the default path's RNG stream is untouched.  Columns
+        # 3-4 (present with bilinear_stochastic) are the corner uniforms.
+        if spec_shift.shape[-1] > 4:
+            rng = spec_shift[:, 2:5]
+        elif spec_shift.shape[-1] > 2:
+            rng = spec_shift[:, 2]
+        else:
+            rng = None
         albedo = texture_sample(alb_pyr, uv, lod_a, rng=rng)
         roughness = texture_sample(rgh_pyr, uv, lod_r, rng=rng)
         roughness_womip = bilinear_sample(rough_base, uv)
@@ -544,8 +557,9 @@ class MaterialModel:
             jnp.arange(b, dtype=jnp.int32)
         )
         # column 2 (drawn only with mip_stochastic, keeping the default RNG
-        # stream bit-identical) is the stochastic-LOD uniform (_shade_core)
-        n_u = 3 if self.mip_stochastic else 2
+        # stream bit-identical) is the stochastic-LOD uniform; columns 3-4
+        # (bilinear_stochastic) are the corner uniforms (_shade_core)
+        n_u = 5 if self.bilinear_stochastic else (3 if self.mip_stochastic else 2)
         spec_shift = jax.vmap(lambda k: jax.random.uniform(k, (n_u,)))(row_keys)
 
         args = (

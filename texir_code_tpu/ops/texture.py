@@ -291,6 +291,7 @@ def _flat_pyramid_fetch(
     level: jnp.ndarray,
     uv: jnp.ndarray,
     boundary: str,
+    rng_xy: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Bilinear fetch at a per-sample mip level from a flattened pyramid.
 
@@ -298,7 +299,13 @@ def _flat_pyramid_fetch(
     sample, the level's (offset, width, height) are tiny-table lookups and
     the four corner fetches are gathers into the flat array — so the cost is
     8 gathers per trilinear sample regardless of pyramid depth (the naive
-    sample-every-level form costs 4·n_levels)."""
+    sample-every-level form costs 4·n_levels).
+
+    rng_xy: optional [..., 2] uniforms — stochastic bilinear: fetch ONE
+    corner (x1 with probability fx, y1 with probability fy) instead of
+    blending four.  Unbiased estimator of the bilinear result (the corner
+    weights ARE the selection probabilities) that cuts both the forward
+    gathers and the backward scatter-adds 4x."""
     w = jnp.take(widths, level).astype(uv.dtype)
     h = jnp.take(heights, level).astype(uv.dtype)
     off = jnp.take(offsets, level)
@@ -325,6 +332,11 @@ def _flat_pyramid_fetch(
         out = _take_rows(flat, idx.reshape(-1))
         return out.reshape(idx.shape + (flat.shape[-1],))
 
+    if rng_xy is not None:
+        xi = jnp.where(rng_xy[..., 0] < fx[..., 0], xs[1], xs[0])
+        yi = jnp.where(rng_xy[..., 1] < fy[..., 0], ys[1], ys[0])
+        return fetch(yi, xi)
+
     t00 = fetch(ys[0], xs[0])
     t01 = fetch(ys[0], xs[1])
     t10 = fetch(ys[1], xs[0])
@@ -350,13 +362,16 @@ def texture_sample(
         uv: [..., 2] in [0,1].
         lod: [...] mip level per sample; None → bilinear on the base level.
         boundary: texel addressing mode.
-        rng: optional [...] uniforms in [0,1) — stochastic LOD: sample ONE
-            level per tap (hi with probability frac(lod)) instead of
-            blending two.  Unbiased estimator of the trilinear result that
-            halves both the forward gathers and the backward scatter-adds
-            (XLA's TPU gather/scatter issue ~0.14 G elem/s — the dominant
-            texture cost, PERF.md).  Intended for the MC training stages,
-            whose 16-spp specular noise dwarfs the added LOD variance.
+        rng: optional uniforms in [0,1) — stochastic mip sampling.
+            Shape [...]: stochastic LOD — sample ONE level per tap (hi with
+            probability frac(lod)) instead of blending two; halves the
+            gather/scatter volume.  Shape [..., 3]: stochastic LOD (col 0)
+            + stochastic BILINEAR (cols 1-2: one corner, x1/y1 with
+            probability fx/fy) — ONE gather per sample, an 8x cut vs
+            trilinear.  Both are unbiased estimators of the trilinear
+            result (XLA's TPU gather/scatter issue ~0.14 G elem/s is the
+            dominant texture cost, PERF.md).  Intended for the MC training
+            stages, whose 16-spp specular noise dwarfs the added variance.
     Returns:
         [..., C]
     """
@@ -377,9 +392,12 @@ def texture_sample(
     frac = (lod - lo.astype(lod.dtype))[..., None]
 
     if rng is not None:
+        rng_xy = None
+        if rng.ndim == uv.ndim and rng.shape[-1] == 3:
+            rng, rng_xy = rng[..., 0], rng[..., 1:]
         lvl = jnp.where(rng >= frac[..., 0], lo, hi)
         return _flat_pyramid_fetch(
-            flat, offsets, widths, heights, lvl, uv, boundary
+            flat, offsets, widths, heights, lvl, uv, boundary, rng_xy=rng_xy
         )
 
     out_lo = _flat_pyramid_fetch(flat, offsets, widths, heights, lo, uv, boundary)
