@@ -47,10 +47,10 @@ def export_dataset():
     print(f"dataset exported: {path_mesh}", flush=True)
 
 
-def run_stage(stage, conf, extra=()):
+def run_stage(stage, conf, extra=(), expname="quality"):
     cmd = [
         sys.executable, "-m", "texir_code_tpu.cli", "train",
-        "--conf", conf, "--expname", "quality", "--trainstage", stage,
+        "--conf", conf, "--expname", expname, "--trainstage", stage,
         *extra,
     ]
     print(f"== {stage}: {' '.join(cmd)}", flush=True)
@@ -67,8 +67,16 @@ def main():
                          "which bakes from the TBL, not on the IRRF field; "
                          "capping IRRF only shortens the wall-clock)")
     ap.add_argument("--mat-epochs", type=int, default=None)
+    ap.add_argument("--stages", default="IRRF,IrrT,MatSyn",
+                    help="comma-separated subset of IRRF,IrrT,MatSyn (a "
+                         "MatSyn-only rerun reuses the baked irt.hdr)")
+    ap.add_argument("--expname", default="quality")
+    ap.add_argument("--mat-conf", default="configs/mat_synthetic.conf",
+                    help="e.g. configs/mat_synthetic_exact.conf for the "
+                         "exact-trilinear (mip_stochastic=false) ablation")
     args = ap.parse_args()
 
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     if not args.skip_export:
         export_dataset()
 
@@ -80,9 +88,13 @@ def main():
         mat_extra = ["--max_epochs", str(args.mat_epochs)]
     irt_res = ["--irt_res", "512"]
 
-    run_stage("IRRF", "configs/irrf_synthetic.conf", irrf_extra)
-    run_stage("IrrT", "configs/irt_synthetic.conf", irt_res)
-    run_stage("MatSyn", "configs/mat_synthetic.conf", mat_extra)
+    if "IRRF" in stages:
+        run_stage("IRRF", "configs/irrf_synthetic.conf", irrf_extra,
+                  args.expname)
+    if "IrrT" in stages:
+        run_stage("IrrT", "configs/irt_synthetic.conf", irt_res, args.expname)
+    if "MatSyn" in stages:
+        run_stage("MatSyn", args.mat_conf, mat_extra, args.expname)
     print("quality run complete", flush=True)
 
 

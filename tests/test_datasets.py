@@ -189,14 +189,30 @@ def test_material_gt_export(tmp_path):
     )
     assert float(np.abs(s0 - s1).mean()) > 1e-5
     assert float(s0.max()) > 0
-    # diffuse part = irr * albedo / pi exactly (specular >= 0 on top)
-    diff = img0 - s0 * 0  # full render includes diffuse + its own MC spec
-    # compare against analytic diffuse floor: full >= irt*albedo/pi - eps
-    from texir_code_tpu.data.export import render_seg_pano
+    # Diffuse identity (VERDICT r3 #7): img0 and s0 trace IDENTICAL specular
+    # rays (same seed/geometry; albedo enters only the diffuse term), so
+    # img0 - s0 == irr·albedo/π at every hit pixel — computed independently
+    # here from the primary-hit uv and the GT atlases.
+    import jax.numpy as jnp
 
-    seg = render_seg_pano(tbl, scene.seg_texture, cams[0], (32, 64))
-    got_min = diff[seg >= 0].min()
-    assert got_min >= -1e-6
+    from texir_code_tpu.data.export import pano_dirs
+    from texir_code_tpu.ops.gbuffer import DeviceMesh, interpolate_attributes
+    from texir_code_tpu.ops.raycast import cast_rays
+    from texir_code_tpu.ops.texture import bilinear_sample
+
+    d = pano_dirs(32, 64).reshape(-1, 3)
+    o = np.broadcast_to(np.asarray(cams[0], np.float32), d.shape).copy()
+    hit = cast_rays(tbl.bvh, jnp.asarray(o), jnp.asarray(d), t_min=1e-5)
+    _, _, uv = interpolate_attributes(DeviceMesh.from_mesh(scene.mesh), hit)
+    expected = np.asarray(
+        bilinear_sample(jnp.asarray(irt), uv)
+        * bilinear_sample(jnp.asarray(scene.gt_albedo), uv)
+        / np.pi
+    )
+    valid = np.asarray(hit.prim) >= 0
+    got = (img0 - s0).reshape(-1, 3)
+    assert valid.any()
+    np.testing.assert_allclose(got[valid], expected[valid], atol=2e-4)
 
 
 def test_export_layout_material_mode(tmp_path):

@@ -78,12 +78,7 @@ def make_room_mesh(
         for iy in range(n + 1):
             for ix in range(n + 1):
                 s, t = ix / n, iy / n
-                p = (
-                    (1 - s) * (1 - t) * corners[0]
-                    + s * (1 - t) * corners[1]
-                    + s * t * corners[2]
-                    + (1 - s) * t * corners[3]
-                )
+                p = _quad_point(corners, s, t)
                 q = (
                     (1 - s) * (1 - t) * uv4[0]
                     + s * (1 - t) * uv4[1]
@@ -223,16 +218,42 @@ def make_scene(
 # ---------------------------------------------------------------------------
 
 
+def _quad_point(corners, s: float, t: float) -> np.ndarray:
+    """Bilinear quad point with EXACT axis-aligned fast paths.
+
+    The plain bilinear sum `(1-s)(1-t)c0 + …` leaves ulp-level noise even on
+    constant axes (e.g. `s(1-t)·x + st·x ≠ s·x` in float), so lattice panels
+    meant to be coplanar split into several ulp-separated planes and shared
+    panel edges crack by ulps.  Constant axes and axis-parallel edges are
+    therefore emitted exactly (endpoint coordinates at s/t ∈ {0, 1}) — the
+    occluder extraction's coverage proofs (geometry/occluders.py) rely on
+    exact coplanarity of panels in a wall plane."""
+    c = np.asarray(corners, np.float64)
+    p = np.empty(3, np.float64)
+    for k in range(3):
+        v0, v1, v2, v3 = c[0, k], c[1, k], c[2, k], c[3, k]
+        if v0 == v1 == v2 == v3:
+            p[k] = v0
+        elif v0 == v3 and v1 == v2:      # varies with s only
+            p[k] = v1 if s == 1.0 else v0 + s * (v1 - v0)
+        elif v0 == v1 and v2 == v3:      # varies with t only
+            p[k] = v3 if t == 1.0 else v0 + t * (v3 - v0)
+        else:
+            p[k] = ((1 - s) * (1 - t) * v0 + s * (1 - t) * v1
+                    + s * t * v2 + (1 - s) * t * v3)
+    return p.astype(np.float32)
+
+
 def _lattice_quad(vertices, faces, uvs, uv_faces, corners, uv4, subdiv):
     """Append a subdiv×subdiv tessellated quad with bilinear uvs."""
     n = subdiv
     base = len(vertices)
     ubase = len(uvs)
+    corners = np.asarray(corners, np.float32)
     for iy in range(n + 1):
         for ix in range(n + 1):
             s, t = ix / n, iy / n
-            p = ((1 - s) * (1 - t) * corners[0] + s * (1 - t) * corners[1]
-                 + s * t * corners[2] + (1 - s) * t * corners[3])
+            p = _quad_point(corners, s, t)
             q = ((1 - s) * (1 - t) * uv4[0] + s * (1 - t) * uv4[1]
                  + s * t * uv4[2] + (1 - s) * t * uv4[3])
             vertices.append(np.asarray(p, np.float32))

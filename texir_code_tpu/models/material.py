@@ -70,6 +70,10 @@ RENDER_KNOBS = (
     "spec_two_pass_cut", "spec_two_pass_cap",
     # occlusion proxy (k largest tris seed per-ray t bounds; 0 = off)
     "proxy_k",
+    # proven rectangular occluders (geometry.occluders): host-precomputed
+    # PVS that drops provably-behind-wall clusters from candidate lists —
+    # exact; pays on multi-room scenes
+    "use_occluders",
     # stochastic (one-level) mip sampling during training steps: unbiased
     # estimator of trilinear that halves texture gathers + scatter-adds
     "mip_stochastic",
@@ -226,6 +230,9 @@ class MaterialModel:
         # triangles to seed per-ray t upper bounds in the culled kernels
         # (exact; pays on multi-room scans — ClusterScene.proxy_from_fan)
         self.proxy_k = 0
+        # proven rectangular occluders (geometry.occluders) for the culled
+        # kernels' candidate lists — exact host-precomputed PVS
+        self.use_occluders = False
         # stochastic-LOD mip sampling (ops.texture.texture_sample rng=):
         # ONE level per tap, hi with probability frac(lod) — an unbiased
         # estimator of linear-mipmap-linear that halves the texture
@@ -275,10 +282,31 @@ class MaterialModel:
             if not hasattr(self, k):
                 raise ValueError(f"unknown render knob: {k}")
             setattr(self, k, v)
+        if self.bilinear_stochastic and not self.mip_stochastic:
+            raise ValueError(
+                "bilinear_stochastic requires mip_stochastic=True (the "
+                "corner uniforms ride the stochastic-LOD rng columns; there "
+                "is no exact-LOD + stochastic-bilinear path)"
+            )
+        if self.atlas_mesh is not None and (
+            self.mip_stochastic or self.bilinear_stochastic
+        ):
+            import warnings
+
+            warnings.warn(
+                "stochastic sampling knobs are ignored under atlas tensor-"
+                "parallelism: tp_sample_materials is exact-trilinear (no "
+                "rng); the forward skips drawing the unused uniforms"
+            )
         self.proxy_scene = (
             ClusterScene.proxy_from_fan(self.fan_scene, k=int(self.proxy_k))
             if self.proxy_k else None
         )
+        self.occluders = None
+        if self.use_occluders:
+            from texir_code_tpu.geometry.occluders import extract_occluders
+
+            self.occluders = extract_occluders(mesh)
 
         self._jitted = {}
 
@@ -341,6 +369,7 @@ class MaterialModel:
                 exit_rows=self.gbuf_exit_rows,
                 row_width=self.gbuf_row_width,
                 proxy=self.proxy_scene if self.use_pallas else None,
+                occluders=self.occluders if self.use_pallas else None,
             )
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -558,8 +587,13 @@ class MaterialModel:
         )
         # column 2 (drawn only with mip_stochastic, keeping the default RNG
         # stream bit-identical) is the stochastic-LOD uniform; columns 3-4
-        # (bilinear_stochastic) are the corner uniforms (_shade_core)
-        n_u = 5 if self.bilinear_stochastic else (3 if self.mip_stochastic else 2)
+        # (bilinear_stochastic) are the corner uniforms (_shade_core).
+        # Atlas-TP samples via tp_sample_materials (exact trilinear, no
+        # rng), so the stochastic knobs draw nothing there (ADVICE r3).
+        if self.atlas_mesh is not None:
+            n_u = 2
+        else:
+            n_u = 5 if self.bilinear_stochastic else (3 if self.mip_stochastic else 2)
         spec_shift = jax.vmap(lambda k: jax.random.uniform(k, (n_u,)))(row_keys)
 
         args = (
@@ -708,6 +742,7 @@ class MaterialModel:
             two_pass_cut=self.spec_two_pass_cut,
             two_pass_cap=self.spec_two_pass_cap,
             proxy=self.proxy_scene,
+            occluders=self.occluders,
         )
         spec = shading.specular_estimator_soa(
             lighting, half, n, view, light_dirs, rgh

@@ -340,6 +340,7 @@ def query_tbl_stream(
     two_pass_cut: Optional[float] = None,
     two_pass_cap: float = 0.125,
     proxy=None,
+    occluders=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """TBL query on the Pallas per-ray kernels.
 
@@ -392,6 +393,7 @@ def query_tbl_stream(
                 cut_frac=two_pass_cut,
                 cap_frac=two_pass_cap,
                 proxy=proxy,
+                occluders=occluders,
             )
         else:
             hit = cast_fans_culled(
@@ -404,6 +406,7 @@ def query_tbl_stream(
                 emit_uv=emit_uv,
                 interpret=resolve_interpret(),
                 proxy=proxy,
+                occluders=occluders,
             )
     else:
         emit_uv = (
@@ -448,6 +451,7 @@ def query_tbl_auto(
     two_pass_cut: Optional[float] = None,
     two_pass_cap: float = 0.125,
     proxy=None,
+    occluders=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dispatch: Pallas culled/stream kernels on TPU (when a scene is given
     and shapes divide by 128), XLA skip-link traversal otherwise."""
@@ -466,7 +470,7 @@ def query_tbl_auto(
             cluster_scene=cluster_scene, fan_block=fan_block,
             exit_rows=exit_rows, row_width=row_width,
             two_pass_cut=two_pass_cut, two_pass_cap=two_pass_cap,
-            proxy=proxy,
+            proxy=proxy, occluders=occluders,
         )
     return query_tbl_soa(tbl, origins, dirs, t_valid)
 

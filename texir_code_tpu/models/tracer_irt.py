@@ -270,6 +270,12 @@ class IrradianceTextureBaker:
         # Exact; pays on multi-room scans (like two_pass_cut, which it can
         # replace or compose with).  None = off.
         self.proxy_scene = None
+        # proven rectangular occluders (geometry.occluders.extract_occluders):
+        # host-precomputed PVS — clusters provably behind a fully-covered
+        # wall rectangle are dropped from the candidate lists at cull time.
+        # Exact (bit-equal hits); the structural fix for the behind-wall
+        # candidate mass on multi-room scans (PERF.md round 4).  None = off.
+        self.occluders = None
         # Interpolate the hit's atlas uv inside the culled kernel (rows carry
         # per-triangle uv coefficients) instead of a post-pass barycentric
         # uv lerp.  Measured on v5e: the 6-gather uv lerp is a *dependent*
@@ -350,6 +356,7 @@ class IrradianceTextureBaker:
                 proxy=self.proxy_scene,
                 cut_frac2=self.two_pass_cut2,
                 cap_frac2=self.two_pass_cap2,
+                occluders=self.occluders,
             )
         else:
             hit = cast_fans_culled(
@@ -359,6 +366,7 @@ class IrradianceTextureBaker:
                 fan_block=self.fan_block,
                 exit_rows=self.exit_rows,
                 proxy=self.proxy_scene,
+                occluders=self.occluders,
             )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
         if emit_uv:

@@ -179,6 +179,7 @@ def render_gbuffer(
     exit_rows: int = 0,
     row_width: int = 2048,
     proxy=None,
+    occluders=None,
 ) -> GBuffer:
     """Render cube-face G-buffers by primary-ray casting.
 
@@ -218,6 +219,7 @@ def render_gbuffer(
             fan_block=fan_block,
             exit_rows=exit_rows,
             interpret=resolve_interpret(),
+            occluders=occluders,
         )
         from texir_code_tpu.ops.raycast import RayHit
 

@@ -535,6 +535,7 @@ def cast_fans_culled(
     cull=None,
     seed: Optional[RayHit] = None,
     proxy: Optional[ClusterScene] = None,
+    occluders=None,
 ) -> RayHit:
     """Closest-hit trace of wedge rows with culled, early-exiting clusters.
 
@@ -558,6 +559,9 @@ def cast_fans_culled(
         proxy: optional occlusion-proxy ClusterScene
             (ClusterScene.proxy_from_fan) traced internally to produce
             `seed` when seed is None.  Must match emit_uv (has_uv).
+        occluders: optional geometry.occluders.OccluderSet of proven
+            rectangular occluders — removes provably-occluded clusters from
+            the candidate lists at cull time (exact; see cull_blocks).
     Returns:
         RayHit of shape [T', R] — exact closest hits (when t_cap_frac
         covers the scene).
@@ -566,11 +570,13 @@ def cast_fans_culled(
     from jax.experimental.pallas import tpu as pltpu
 
     if proxy is not None and seed is None:
+        # occluders stay valid on the proxy subset: culling only weakens
+        # seeds toward inf (seeds must be valid hits or inf — both are)
         seed = cast_fans_culled(
             proxy, origins, dirs, t_min=t_min, fan_block=fan_block,
             interpret=interpret, emit_uv=emit_uv, per_ray=per_ray,
             fast_recip=fast_recip, exit_rows=exit_rows,
-            emit_prim=emit_prim,
+            emit_prim=emit_prim, occluders=occluders,
         )
 
     tp, r = dirs[0].shape
@@ -609,7 +615,10 @@ def cast_fans_culled(
     # culling at exit-group granularity gives each group a tighter origin
     # box and thus a shorter list to walk than the whole block's
     if cull is None:
-        cull = cull_blocks(scene, cull_o_lo, cull_o_hi, d, er if er else tf)
+        cull = cull_blocks(
+            scene, cull_o_lo, cull_o_hi, d, er if er else tf,
+            occluders=occluders,
+        )
     cand, count, dist = cull
     cc = scene.num_clusters
     cand = cand.reshape(rb, ng, cc)
@@ -711,14 +720,25 @@ def cast_fans_culled(
     return RayHit(t=t[:tp], prim=prim[:tp], u=u[:tp], v=v[:tp])
 
 
-def cull_blocks(scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int):
+def cull_blocks(
+    scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int, occluders=None
+):
     """Per-block candidate cluster lists, sorted near-to-far.
 
     Static tests per (block of tf rows, cluster): swept-beam AABB overlap
     (length = scene diameter) + front-halfspace, both against the block's
     joint origin box and direction cone (the fan_raycast tests lifted to
     origin intervals).  Returns cand [RB, 1, C] int32 nearest-first,
-    count [RB, 1, 1] int32, dist [RB, 1, C] float32 sorted bounds."""
+    count [RB, 1, 1] int32, dist [RB, 1, C] float32 sorted bounds.
+
+    occluders: optional geometry.occluders.OccluderSet of PROVEN
+    mesh-covered rectangles.  Per group, each occluder whose rectangle
+    provably contains every crossing point of the group's rays yields an
+    effective blocking plane; clusters strictly behind it are removed from
+    the candidate list — exactly (any ray reaching them records a strictly
+    closer hit on the occluder first).  This is the host-precomputed PVS
+    that removes the behind-wall candidate mass distance bounds cannot
+    (VERDICT r3 #2 / PERF.md round-3 saturation analysis)."""
     tp = dirs[0].shape[0]
     rb = tp // tf
     c = scene.num_clusters
@@ -772,6 +792,18 @@ def cull_blocks(scene, o_lo: Vec3s, o_hi: Vec3s, dirs: Vec3s, tf: int):
         gap = jnp.maximum(jnp.maximum(gap_p, gap_m), 0.0)
         dist2 += gap * gap
     ok = overlap & (front >= 0.0) & jnp.isfinite(t_lb)
+    if occluders is not None and occluders.num_occluders:
+        from texir_code_tpu.geometry.occluders import occluder_plane_bounds
+
+        p_eff_lo, p_eff_hi = occluder_plane_bounds(
+            occluders, bo_lo, bo_hi, d_lo, d_hi
+        )
+        m = occluders.sep_margin
+        blocked = jnp.zeros((rb, c), jnp.bool_)
+        for k in range(3):
+            blocked |= scene.cluster_lo[None, :, k] > p_eff_hi[k][:, None] + m
+            blocked |= scene.cluster_hi[None, :, k] < p_eff_lo[k][:, None] - m
+        ok &= ~blocked
     dist = jnp.maximum(jnp.sqrt(dist2), t_lb)
     key = jnp.where(ok, dist, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
@@ -807,6 +839,7 @@ def cast_fans_culled_twopass(
     proxy: Optional[ClusterScene] = None,
     cut_frac2: Optional[float] = None,
     cap_frac2: float = 0.25,
+    occluders=None,
 ) -> RayHit:
     """Exact closest-hit trace in two passes — per-RAY early termination.
 
@@ -863,7 +896,7 @@ def cast_fans_culled_twopass(
         o_hi = tuple(jnp.max(a, axis=1) for a in o_rows)
     else:
         o_lo = o_hi = o_rows
-    cull = cull_blocks(scene, o_lo, o_hi, d, er)
+    cull = cull_blocks(scene, o_lo, o_hi, d, er, occluders=occluders)
     _, count, dist = cull
     hit1 = cast_fans_culled(
         scene, o_rows, d, t_min=t_min, fan_block=tf, exit_rows=exit_rows,
@@ -908,13 +941,13 @@ def cast_fans_culled_twopass(
                 scene, o2, d2, t_min=t_min, fan_block=tf,
                 exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
                 per_ray=True, proxy=proxy, cut_frac=cut_frac2,
-                cap_frac=cap_frac2,
+                cap_frac=cap_frac2, occluders=occluders,
             )
         else:
             hit2 = cast_fans_culled(
                 scene, o2, d2, t_min=t_min, fan_block=tf,
                 exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
-                per_ray=True, proxy=proxy,
+                per_ray=True, proxy=proxy, occluders=occluders,
             )
         # re-traced FINAL rays that padded the capacity produce identical
         # results, so all cap_rays slots scatter back unconditionally
@@ -932,7 +965,7 @@ def cast_fans_culled_twopass(
         h = cast_fans_culled(
             scene, o_rows, d, t_min=t_min, fan_block=tf,
             exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
-            per_ray=per_ray, proxy=proxy,
+            per_ray=per_ray, proxy=proxy, occluders=occluders,
         )
         return h.t, h.prim, h.u, h.v
 
@@ -954,6 +987,7 @@ def cast_ray_fans_wedged(
     fan_block: int = 8,
     interpret: bool = False,
     emit_uv: bool = False,
+    occluders=None,
 ) -> Tuple[RayHit, Vec3s]:
     """Full fan trace via direction wedges: sort, split, cull, cast.
 
@@ -972,7 +1006,7 @@ def cast_ray_fans_wedged(
     rows_o = tuple(tile_rows(a, g) for a in origins)
     hit = cast_fans_culled(
         scene, rows_o, rows_d, t_min=t_min, fan_block=fan_block,
-        interpret=interpret, emit_uv=emit_uv,
+        interpret=interpret, emit_uv=emit_uv, occluders=occluders,
     )
     back = lambda x: unwedge_rows(x, g)
     return (

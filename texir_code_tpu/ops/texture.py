@@ -372,6 +372,11 @@ def texture_sample(
             result (XLA's TPU gather/scatter issue ~0.14 G elem/s is the
             dominant texture cost, PERF.md).  Intended for the MC training
             stages, whose 16-spp specular noise dwarfs the added variance.
+            Gradient caveat: in rng mode, fx/fy/frac appear only inside
+            where-conditions, so gradients w.r.t. uv and lod are identically
+            zero — the estimator is unbiased for the TEXTURE-parameter
+            gradient only.  Safe here (uv/lod come from stop_gradient'd
+            G-buffers); do not differentiate uv/lod through the rng paths.
     Returns:
         [..., C]
     """
@@ -392,9 +397,23 @@ def texture_sample(
     frac = (lod - lo.astype(lod.dtype))[..., None]
 
     if rng is not None:
+        # explicit shape contract (no mode-sniffing): lod.shape = LOD-only
+        # uniforms; lod.shape+(3,) = LOD + the two bilinear-corner uniforms
         rng_xy = None
-        if rng.ndim == uv.ndim and rng.shape[-1] == 3:
+        if rng.ndim == lod.ndim + 1:
+            if rng.shape != lod.shape + (3,):
+                raise ValueError(
+                    "texture_sample rng must have shape lod.shape (stochastic"
+                    f" LOD) or lod.shape+(3,) (+stochastic bilinear); got"
+                    f" rng {rng.shape} for lod {lod.shape}"
+                )
             rng, rng_xy = rng[..., 0], rng[..., 1:]
+        elif rng.shape != lod.shape:
+            raise ValueError(
+                "texture_sample rng must have shape lod.shape (stochastic"
+                f" LOD) or lod.shape+(3,) (+stochastic bilinear); got"
+                f" rng {rng.shape} for lod {lod.shape}"
+            )
         lvl = jnp.where(rng >= frac[..., 0], lo, hi)
         return _flat_pyramid_fetch(
             flat, offsets, widths, heights, lvl, uv, boundary, rng_xy=rng_xy

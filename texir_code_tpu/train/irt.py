@@ -129,6 +129,13 @@ class IrrTextureRunner:
             self.baker.proxy_scene = ClusterScene.proxy_from_fan(
                 fan, k=proxy_k
             )
+        # proven rectangular occluders (geometry/occluders.py): exact
+        # host-precomputed PVS — the behind-wall candidate fix for
+        # multi-room scans (PERF.md round 4); conf train.bake_occluders
+        if conf.get("train.bake_occluders", True) and clusters is not None:
+            from texir_code_tpu.geometry.occluders import extract_occluders
+
+            self.baker.occluders = extract_occluders(self.mesh)
         self.texture_res = texture_res
         self._geom = bake_geometry_textures(self.mesh, texture_res)
 
@@ -138,12 +145,20 @@ class IrrTextureRunner:
 
         t0 = time.time()
         tex = self.baker.bake(self._geom, self.key, progress=True)
-        rays = int(self._geom.valid.sum()) * self.baker.spp
+        texels = int(self._geom.valid.sum())
+        rays = texels * self.baker.spp
         dt = time.time() - t0
-        print(
-            f"IrT bake: {rays/1e6:.1f} Mrays in {dt:.1f}s "
-            f"({rays/dt/1e6:.2f} Mrays/s)"
-        )
+        if rays >= 10**6:
+            print(
+                f"IrT bake: {rays/1e6:.1f} Mrays in {dt:.1f}s "
+                f"({rays/dt/1e6:.2f} Mrays/s)"
+            )
+        else:
+            # tiny bakes (dryrun/tests) would round to "0.0 Mrays"
+            print(
+                f"IrT bake: {texels} texels x {self.baker.spp} spp "
+                f"({rays} rays) in {dt:.1f}s"
+            )
         # raw bake next to the mesh, as the reference writes it (:78-82)
         raw_path = self.path_mesh.replace("out1.obj", "0_irr_texture.hdr")
         hdrio.write_hdr(raw_path, tex, flip=True)
