@@ -127,7 +127,7 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     return n_meas * batch * SPP / dt / 1e6, syn.mesh.num_faces
 
 
-def _mat_step(syn, render_knobs=None):
+def _mat_step(syn, render_knobs=None, cam_position=None):
     """Full-shape Mat stage-2 training step: iters/s (plus the one-time
     per-view precompute cost, reported separately as mat_first_epoch)."""
     import jax
@@ -148,7 +148,10 @@ def _mat_step(syn, render_knobs=None):
         sample_light=(32, 16), render_knobs=render_knobs,
     )
     params = init_material_params(2048, 4096)
-    pos = jnp.asarray(syn.camera_positions(1)[0])
+    pos = jnp.asarray(
+        syn.camera_positions(1)[0] if cam_position is None
+        else np.asarray(cam_position, np.float32)
+    )
     ext = np.eye(4, dtype=np.float32)
     ext[0:3, 3] = np.asarray(pos)
     mvp = cube_mvp(jnp.asarray(ext))

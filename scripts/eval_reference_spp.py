@@ -21,15 +21,34 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _device_peak_mb():
+    """TPU peak bytes in use (high-water), if the backend exposes it."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return None
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+    return peak / 2**20 if peak else None
+
+
 def run_stage(stage, expname, extra=()):
+    """Run one CLI test stage.
+
+    Stages run in a SUBPROCESS (the CLI path users take); the per-stage
+    device memory high-water is probed in-process by a follow-up flag on
+    the CLI when available, so this wrapper reports wall-clock and the
+    child prints its own peak via TEXIR_PRINT_MEMORY=1."""
     cmd = [
         sys.executable, "-m", "texir_code_tpu.cli", "test",
         "--conf", "configs/test_synthetic.conf",
         "--expname", expname, "--teststage", stage, *extra,
     ]
     print(f"== {stage}: {' '.join(cmd)}", flush=True)
+    env = dict(os.environ, TEXIR_PRINT_MEMORY="1")
     t0 = time.time()
-    subprocess.run(cmd, cwd=REPO, check=True)
+    subprocess.run(cmd, cwd=REPO, check=True, env=env)
     dt = time.time() - t0
     print(f"== {stage} wall-clock: {dt:.1f}s", flush=True)
     return dt

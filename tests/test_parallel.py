@@ -336,3 +336,56 @@ def test_sharded_mat_step_has_collectives_and_sharded_render(room_tbl):
     assert len(rgb.sharding.device_set) == 8
     shard_rows = {s.index[0] for s in rgb.addressable_shards}
     assert len(shard_rows) == 8, "rgb not actually partitioned over devices"
+
+
+def test_runner_substage_atlas_tp_matches_replicated(runner_env, tmp_path):
+    """MatTrainRunner constructed with train.atlas_tp = true row-shards the
+    material atlases across the 8-device mesh and its substage step matches
+    the replicated run's forward losses (VERDICT r3 #8: the conf-driven
+    atlas-TP branch was only exercised via hand-built steps).
+
+    mip_stochastic is forced off for BOTH runs: the trainers default it on,
+    but atlas-TP sampling is exact-trilinear (no rng), so a stochastic
+    replicated run would differ by sampling noise, not by parallelism."""
+    from texir_code_tpu.config import parse_string
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf_tpl = runner_env
+
+    class Recorder:
+        def __init__(self):
+            self.scalars = []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, value, step))
+
+    def run(atlas_tp, tag):
+        conf = parse_string(conf_tpl.format(
+            mesh=path_mesh, spmd="false", knobs="mip_stochastic = false"
+        ))
+        if atlas_tp:
+            conf.put("train.atlas_tp", True)
+        runner = MatTrainRunner(
+            conf, expname=tag, exps_root=str(tmp_path / "exps"),
+            albedo_res=16, roughness_res=16,
+        )
+        runner.writer = Recorder()
+        runner.build_masks()
+        runner._substage(0, 1, 0)
+        return runner
+
+    r_tp = run(True, "atlas_tp")
+    r_1 = run(False, "replicated")
+    assert r_tp.model.atlas_mesh is not None and r_tp.model.spmd_mesh is None
+    # params are row-sharded 1/8 per device
+    shards = r_tp.params.albedo.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[0] == 2  # 16 rows / 8 devices
+    assert len({s.device for s in shards}) == 8
+    ls = [v for t, v, s in r_tp.writer.scalars if t.startswith("img_loss")]
+    l1 = [v for t, v, s in r_1.writer.scalars if t.startswith("img_loss")]
+    assert len(ls) == len(l1) == 2
+    assert np.isfinite(ls).all()
+    np.testing.assert_allclose(ls, l1, rtol=1e-5)
+    # the substage actually trained: albedo moved off its 0.5 init
+    assert float(np.abs(np.asarray(r_tp.params.albedo) - 0.5).max()) > 1e-3

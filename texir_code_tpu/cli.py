@@ -265,6 +265,18 @@ def main(argv=None):
         TRAIN_STAGES[args.trainstage](conf, args)
     else:
         TEST_STAGES[args.teststage](conf, args)
+    if os.environ.get("TEXIR_PRINT_MEMORY"):
+        # device memory high-water (scripts/eval_reference_spp.py probes
+        # the chunked-eval memory envelope at reference spp)
+        import jax
+
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+            if peak:
+                print(f"device memory high-water: {peak/2**20:.0f} MiB")
+        except Exception:
+            pass
     return 0
 
 
