@@ -148,7 +148,7 @@ def test_extract_irregular_tiling_slow_path():
 
 def _single_occ(axis, p, lo2, hi2, sep=0.01):
     return OccluderSet(
-        axis=jnp.asarray([axis], jnp.int32),
+        axis=(axis,),
         p=jnp.asarray([p], jnp.float32),
         rect_lo=jnp.asarray([lo2], jnp.float32),
         rect_hi=jnp.asarray([hi2], jnp.float32),

@@ -68,7 +68,9 @@ class OccluderSet:
     """K proven rectangular occluders (a pytree).
 
     Attributes:
-        axis: [K] int32 — plane normal axis k.
+        axis: length-K tuple of ints — plane normal axis k.  STATIC (pytree
+            aux data): the blocking test unrolls over occluders and selects
+            coordinate axes per occluder at trace time.
         p: [K] float32 — plane offset (x_k = p).
         rect_lo / rect_hi: [K, 2] float32 — rectangle bounds in the two
             other axes, ordered ((k+1)%3, (k+2)%3), pre-shrunk by the
@@ -78,7 +80,7 @@ class OccluderSet:
             t_min; an origin within the margin is never considered blocked).
     """
 
-    axis: jnp.ndarray
+    axis: tuple
     p: jnp.ndarray
     rect_lo: jnp.ndarray
     rect_hi: jnp.ndarray
@@ -86,17 +88,17 @@ class OccluderSet:
 
     def tree_flatten(self):
         return (
-            (self.axis, self.p, self.rect_lo, self.rect_hi, self.sep_margin),
-            None,
+            (self.p, self.rect_lo, self.rect_hi, self.sep_margin),
+            self.axis,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(aux, *leaves)
 
     @property
     def num_occluders(self) -> int:
-        return int(self.axis.shape[0])
+        return len(self.axis)
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +217,7 @@ def extract_occluders(
     min_area_frac: float = 0.0012,
     max_occluders: int = 96,
     max_grid: int = 768,
-    margin_frac: float = 2e-4,
+    margin_frac: float = 5e-5,
     sep_margin_frac: float = 1.5e-3,
     coord_tol_frac: float = 1e-6,
 ) -> Optional[OccluderSet]:
@@ -274,7 +276,7 @@ def extract_occluders(
     if not keep.any():
         return None
     return OccluderSet(
-        axis=jnp.asarray(axis[keep]),
+        axis=tuple(int(a) for a in axis[keep]),
         p=jnp.asarray(p[keep]),
         rect_lo=jnp.asarray(rect_lo[keep]),
         rect_hi=jnp.asarray(rect_hi[keep]),
@@ -449,7 +451,7 @@ def occluder_plane_bounds(
     D_LO = jnp.stack(d_lo)
     D_HI = jnp.stack(d_hi)
 
-    ax = occ.axis              # [K]
+    ax = jnp.asarray(occ.axis, jnp.int32)   # [K] (static tuple → array)
     a_ax = (ax + 1) % 3
     b_ax = (ax + 2) % 3
     p = occ.p[:, None]         # [K, 1]
@@ -511,10 +513,105 @@ def occluder_plane_bounds(
     p_eff_hi = jnp.full((3, G), inf)
     p_eff_lo = jnp.full((3, G), -inf)
     pk = jnp.broadcast_to(p, blocked_up.shape)
+    ax_np = np.asarray(occ.axis)
     for k in range(3):
-        on_axis = (ax == k)[:, None]
+        on_axis = jnp.asarray(ax_np == k)[:, None]
         hi_k = jnp.where(on_axis & blocked_up, pk, inf).min(axis=0)
         lo_k = jnp.where(on_axis & blocked_dn, pk, -inf).max(axis=0)
         p_eff_hi = p_eff_hi.at[k].set(hi_k)
         p_eff_lo = p_eff_lo.at[k].set(lo_k)
     return p_eff_lo, p_eff_hi
+
+
+def occluder_blocked_clusters(
+    occ: OccluderSet,
+    bo_lo, bo_hi,          # 3-tuples of [G] group origin-box bounds
+    d_lo, d_hi,            # 3-tuples of [G] group direction-cone bounds
+    cluster_lo, cluster_hi,  # [C, 3] cluster AABBs
+):
+    """[G, C] mask of clusters provably unreachable by every ray of each
+    group — the cull-time PVS test.
+
+    Two conservative shaft arguments are OR-ed per occluder:
+
+      * **Cone crossing** (occluder_plane_bounds): when the group's
+        direction cone is strictly toward the plane, the crossing-point
+        interval is direction-bounded — tight for narrow cones, but an
+        octant-wedge cone always touches d_k = 0, so bake wedges never
+        engage it.
+      * **Box-union shaft** (direction-free): every segment from a point
+        of the origin box O to a point of a cluster box B crosses the
+        separating plane at a CONVEX COMBINATION of its endpoints, so the
+        crossing point lies inside hull(O, B)'s projection — if that union
+        interval fits inside the proven rectangle (and O, B are strictly
+        separated by the plane with sep_margin), every such segment hits
+        the occluder strictly first.  This is what fires on hemisphere
+        fans: it removes the behind-wall near shell whose distance bounds
+        sit under the occlusion-exit threshold (exactly the visited set
+        the round-3 analysis proved no exit mechanism can skip).
+    """
+    G = bo_lo[0].shape[0]
+    C = cluster_lo.shape[0]
+
+    # cone path → per-axis effective planes → cluster compare
+    p_eff_lo, p_eff_hi = occluder_plane_bounds(occ, bo_lo, bo_hi, d_lo, d_hi)
+    m = occ.sep_margin
+    blocked = jnp.zeros((G, C), jnp.bool_)
+    for k in range(3):
+        blocked |= cluster_lo[None, :, k] > p_eff_hi[k][:, None] + m
+        blocked |= cluster_hi[None, :, k] < p_eff_lo[k][:, None] - m
+
+    # box-shaft path, per occluder (K is small and static: unrolled loop
+    # keeps the [G, C] working set to one mask).  The crossing point of a
+    # segment o→h at the plane is (1−s)·o + s·h with s = (p−o_k)/(h_k−o_k);
+    # s is monotone in both endpoints' k-coordinates, so with strict
+    # separation s ∈ [s_min, s_max] computed from the box bounds, and the
+    # crossing interval per rect axis is the hull of the two linear
+    # endpoint evaluations.  This is FAR tighter than the plain union box:
+    # a distant cluster (s_max ≪ 1) crosses near the group's own
+    # projection, so whole far rooms fall inside one wall panel's
+    # rectangle — occluder fusion is unnecessary for them.
+    BO_LO = jnp.stack(bo_lo)
+    BO_HI = jnp.stack(bo_hi)
+    for i in range(occ.num_occluders):
+        k = int(occ.axis[i])
+        a, b = (k + 1) % 3, (k + 2) % 3
+        p = occ.p[i]
+
+        for sign in (+1, -1):
+            # sign=+1: group below the plane, cluster above; −1 mirrored.
+            if sign > 0:
+                o_near, o_far = BO_HI[k][:, None], BO_LO[k][:, None]
+                c_near = cluster_lo[None, :, k]
+                c_far = cluster_hi[None, :, k]
+                side = (o_near <= p - m) & (c_near > p + m)
+                gap_lo = p - o_near
+                gap_hi = p - o_far
+                den_max = c_near - o_far     # pairs with gap_hi
+                den_min = c_far - o_near     # pairs with gap_lo
+            else:
+                o_near, o_far = BO_LO[k][:, None], BO_HI[k][:, None]
+                c_near = cluster_hi[None, :, k]
+                c_far = cluster_lo[None, :, k]
+                side = (o_near >= p + m) & (c_near < p - m)
+                gap_lo = o_near - p
+                gap_hi = o_far - p
+                den_max = o_far - c_near
+                den_min = o_near - c_far
+            s_max = gap_hi / jnp.maximum(den_max, 1e-12)
+            s_min = gap_lo / jnp.maximum(den_min, 1e-12)
+            fit = jnp.ones((G, C), jnp.bool_)
+            for col, aidx in ((0, a), (1, b)):
+                o_lo_a = BO_LO[aidx][:, None]
+                o_hi_a = BO_HI[aidx][:, None]
+                c_lo_a = cluster_lo[None, :, aidx]
+                c_hi_a = cluster_hi[None, :, aidx]
+                lo1 = o_lo_a + s_min * (c_lo_a - o_lo_a)
+                lo2 = o_lo_a + s_max * (c_lo_a - o_lo_a)
+                hi1 = o_hi_a + s_min * (c_hi_a - o_hi_a)
+                hi2 = o_hi_a + s_max * (c_hi_a - o_hi_a)
+                fit &= (jnp.minimum(lo1, lo2) >= occ.rect_lo[i, col]) & (
+                    jnp.maximum(hi1, hi2) <= occ.rect_hi[i, col]
+                )
+            blocked |= side & fit
+    return blocked

@@ -793,16 +793,12 @@ def cull_blocks(
         dist2 += gap * gap
     ok = overlap & (front >= 0.0) & jnp.isfinite(t_lb)
     if occluders is not None and occluders.num_occluders:
-        from texir_code_tpu.geometry.occluders import occluder_plane_bounds
+        from texir_code_tpu.geometry.occluders import occluder_blocked_clusters
 
-        p_eff_lo, p_eff_hi = occluder_plane_bounds(
-            occluders, bo_lo, bo_hi, d_lo, d_hi
+        blocked = occluder_blocked_clusters(
+            occluders, bo_lo, bo_hi, d_lo, d_hi,
+            scene.cluster_lo, scene.cluster_hi,
         )
-        m = occluders.sep_margin
-        blocked = jnp.zeros((rb, c), jnp.bool_)
-        for k in range(3):
-            blocked |= scene.cluster_lo[None, :, k] > p_eff_hi[k][:, None] + m
-            blocked |= scene.cluster_hi[None, :, k] < p_eff_lo[k][:, None] - m
         ok &= ~blocked
     dist = jnp.maximum(jnp.sqrt(dist2), t_lb)
     key = jnp.where(ok, dist, jnp.inf)
