@@ -57,7 +57,7 @@ EXIT_ROWS = 16
 def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
                 fan_block=FAN_BLOCK, lb=CLUSTER_ROWS, exit_rows=EXIT_ROWS,
                 two_pass_cut=None, two_pass_cut2=None, two_pass_cap=0.125,
-                two_pass_cap2=0.25):
+                two_pass_cap2=0.25, occluders=False):
     """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
@@ -86,6 +86,10 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     baker.two_pass_cut2 = two_pass_cut2
     baker.two_pass_cap = two_pass_cap
     baker.two_pass_cap2 = two_pass_cap2
+    if occluders:
+        from texir_code_tpu.geometry.occluders import extract_occluders
+
+        baker.occluders = extract_occluders(syn.mesh)
 
     vr, vc = np.nonzero(geom.valid)
     from texir_code_tpu.models.tracer_irt import morton_order
