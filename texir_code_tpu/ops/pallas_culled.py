@@ -95,7 +95,8 @@ class ClusterScene:
 
     @classmethod
     def from_fan(
-        cls, fan: FanScene, lb: int = 32, dense: bool = False
+        cls, fan: FanScene, lb: int = 32, dense: bool = False,
+        split_planes=None,
     ) -> "ClusterScene":
         """Re-pack a FanScene's leaf rows into DMA-aligned clusters.
 
@@ -103,14 +104,25 @@ class ClusterScene:
         boundaries (DFS order preserved): leaves average ~3.6/4 valid
         triangles, so leaf-aligned rows waste ~9% of the kernel's tests
         on padding.  Row AABBs become the union of the contributing
-        leaves' AABBs — conservative, so culling stays exact."""
+        leaves' AABBs — conservative, so culling stays exact.
+
+        split_planes: optional geometry.occluders.OccluderSet.  Clusters
+        that STRADDLE an occluder plane can never be culled by it (the
+        blocking test requires the whole cluster strictly behind), and the
+        BVH DFS freely packs e.g. floor strips across wall planes.  With
+        split_planes, the dense packing starts a fresh lane-aligned
+        row/cluster whenever the DFS crosses a plane of the set, so
+        behind-wall geometry lands in cullable clusters.  Costs a few
+        percent padding; exactness unaffected (packing only)."""
         rows = getattr(fan, "rows_np", None)
         if rows is None:
             rows = np.asarray(fan.rows)
         l, w = rows.shape
         has_uv = w >= FAN_ROW_WIDTH_UV
         if dense:
-            rows = _densepack_rows(rows, has_uv)
+            rows = _densepack_rows(
+                rows, has_uv, split_planes=split_planes, lb=lb
+            )
             l = rows.shape[0]
         return cls._from_rows(rows, lb, has_uv, fan.diameter)
 
@@ -192,45 +204,111 @@ class ClusterScene:
 
 
 def _densepack_rows(
-    rows: np.ndarray, has_uv: bool, li=None, ki=None
+    rows: np.ndarray, has_uv: bool, li=None, ki=None, split_planes=None,
+    lb: int = 1,
 ) -> np.ndarray:
     """Repack leaf rows' valid triangles densely, 4 per row, DFS order.
 
     Cols 12:72 are four contiguous stride-15 triangle records and 72:96
     four 6-float uv records, so the repack is a flat reshape; cols 0:6
     (row AABB) become the union of each triangle's source-leaf AABB.
-    li/ki optionally select a triangle subset (row, slot indices)."""
+    li/ki optionally select a triangle subset (row, slot indices).
+
+    split_planes + lb: break the packing into fresh lb-aligned cluster
+    boundaries whenever consecutive DFS triangles lie in different regions
+    of the occluder-plane arrangement (per source-leaf AABB signs:
+    strictly-below / on / strictly-above per plane), so no cluster
+    straddles a plane of the set (see ClusterScene.from_fan)."""
     l, w = rows.shape
     prims = rows[:, 8:12].view(np.int32)  # [L, 4]
     if li is None:
         li, ki = np.nonzero(prims >= 0)  # row-major → DFS triangle order
     n = len(li)
-    l2 = (n + 3) // 4
-    npad = l2 * 4
+
+    if split_planes is not None and n and split_planes.num_occluders:
+        # region signature per triangle from its source-leaf AABB
+        lo_t = rows[li, 0:3]
+        hi_t = rows[li, 3:6]
+        m = float(split_planes.sep_margin)
+        p_np = np.asarray(split_planes.p)
+        seen = set()
+        planes = []
+        for i in range(split_planes.num_occluders):
+            key = (int(split_planes.axis[i]), round(float(p_np[i]), 6))
+            if key in seen:
+                continue
+            seen.add(key)
+            planes.append(key)
+        sig = np.zeros((n, len(planes)), np.int8)
+        for col, (k, p) in enumerate(planes):
+            sig[:, col] = np.where(
+                hi_t[:, k] <= p - m, 0,
+                np.where(lo_t[:, k] >= p + m, 2, 1),
+            )
+        # region-MAJOR packing: the DFS crosses plane regions thousands of
+        # times (run-level breaks measured 100% padding), so triangles are
+        # stable-sorted by (region id, morton of leaf center) — one
+        # cluster-aligned break per REGION, spatial coherence restored
+        # within each region by the morton key
+        _, region = np.unique(sig, axis=0, return_inverse=True)
+        centers = (lo_t + hi_t) * 0.5
+        span = centers.max(axis=0) - centers.min(axis=0) + 1e-9
+        q = ((centers - centers.min(axis=0)) / span * 1023).astype(np.int64)
+
+        def _spread(x):
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        morton = (
+            _spread(q[:, 0]) | (_spread(q[:, 1]) << 1)
+            | (_spread(q[:, 2]) << 2)
+        )
+        order = np.lexsort((morton, region))
+        li, ki = li[order], ki[order]
+        region = region[order]
+        change = np.concatenate([[True], region[1:] != region[:-1]])
+        run_start = np.flatnonzero(change)
+        run_len = np.diff(np.concatenate([run_start, [n]]))
+        # rows per region, rounded up to whole clusters (lb rows)
+        rows_per_run = -(-run_len // 4)
+        rows_per_run = -(-rows_per_run // lb) * lb
+        run_row0 = np.concatenate([[0], np.cumsum(rows_per_run[:-1])])
+        run_of_tri = np.repeat(np.arange(len(run_start)), run_len)
+        idx_in_run = np.arange(n) - run_start[run_of_tri]
+        row_idx = run_row0[run_of_tri] + idx_in_run // 4
+        slot = idx_in_run % 4
+        l2 = int(run_row0[-1] + rows_per_run[-1]) if len(run_start) else 0
+    else:
+        row_idx = np.arange(n) // 4
+        slot = np.arange(n) % 4
+        l2 = (n + 3) // 4
 
     tri_cols = (_TRI_BASE + _TRI_STRIDE * ki)[:, None] + np.arange(_TRI_STRIDE)
-    tri_rec = np.zeros((npad, _TRI_STRIDE), np.float32)
-    tri_rec[:n] = rows[li[:, None], tri_cols]
+    tri_rec = np.zeros((l2, 4, _TRI_STRIDE), np.float32)
+    tri_rec[row_idx, slot] = rows[li[:, None], tri_cols]
 
     out = np.zeros((l2, w), np.float32)
     out[:, _TRI_BASE:_TRI_BASE + 4 * _TRI_STRIDE] = tri_rec.reshape(l2, -1)
     if has_uv:
         uv_cols = (_UV_BASE + 6 * ki)[:, None] + np.arange(6)
-        uv_rec = np.zeros((npad, 6), np.float32)
-        uv_rec[:n] = rows[li[:, None], uv_cols]
+        uv_rec = np.zeros((l2, 4, 6), np.float32)
+        uv_rec[row_idx, slot] = rows[li[:, None], uv_cols]
         out[:, _UV_BASE:_UV_BASE + 24] = uv_rec.reshape(l2, -1)
 
-    pr = np.full((npad,), -1, np.int32)
-    pr[:n] = prims[li, ki]
-    out[:, 8:12] = pr.reshape(l2, 4).view(np.float32)
+    pr = np.full((l2, 4), -1, np.int32)
+    pr[row_idx, slot] = prims[li, ki]
+    out[:, 8:12] = pr.view(np.float32)
 
-    lo = np.full((npad, 3), np.inf, np.float32)
-    hi = np.full((npad, 3), -np.inf, np.float32)
-    lo[:n] = rows[li, 0:3]
-    hi[:n] = rows[li, 3:6]
-    out[:, 0:3] = lo.reshape(l2, 4, 3).min(axis=1)
-    out[:, 3:6] = hi.reshape(l2, 4, 3).max(axis=1)
-    # a fully-padded tail row would carry an infinite AABB; zero it
+    lo = np.full((l2, 4, 3), np.inf, np.float32)
+    hi = np.full((l2, 4, 3), -np.inf, np.float32)
+    lo[row_idx, slot] = rows[li, 0:3]
+    hi[row_idx, slot] = rows[li, 3:6]
+    out[:, 0:3] = lo.min(axis=1)
+    out[:, 3:6] = hi.max(axis=1)
+    # fully-padded rows would carry an infinite AABB; zero it
     bad = ~np.isfinite(out[:, 0:6]).all(axis=1)
     out[bad, 0:6] = 0.0
     return out
