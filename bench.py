@@ -232,31 +232,49 @@ def main():
         make_building_scene,
     )
 
+    # proven rectangular occluders (geometry/occluders.py): exact
+    # host-precomputed PVS, pays on every scene (apartment 16.3 -> 18.8,
+    # big single-pass 2.97 -> 5.36; PERF.md round 4) — production default
     apt = make_apartment_scene(atlas_res=256, subdiv=24)
-    mrays, tris = _bake_scene(apt)
+    mrays, tris = _bake_scene(apt, occluders=True)
 
-    # two-pass trace on the multi-room scene: truncated walk at 0.25x the
-    # scene diameter + compacted straggler re-trace (2.97 -> 4.80 Mrays/s;
-    # the convex apartment LOSES from it, measured — see PERF.md round 3)
+    # two-pass trace + occluders on the multi-room scene: truncated walk +
+    # compacted straggler re-trace over occluder-culled candidate lists
+    # (4.83 -> 5.53; cut swept 0.25-0.35 ~flat, PERF.md round 4)
     big = make_building_scene(atlas_res=256, subdiv=28)
     big_mrays, big_tris = _bake_scene(
-        big, n_meas=2, fan_block=16, exit_rows=8, two_pass_cut=0.25
+        big, n_meas=2, fan_block=16, exit_rows=8, two_pass_cut=0.25,
+        occluders=True,
     )
 
     # 30-room 377k-tri scan at the SAME tessellation density as `big`:
     # per-ray visible geometry stays ~one room, so throughput decays
-    # sub-linearly (3.62x triangles -> ~2.3x decay).  The 3-pass ladder
-    # (cuts track room scale, not diameter fractions) is the measured
-    # optimum here (PERF.md round 3 second pass).
+    # sub-linearly.  two-pass 0.16 + occluders is the round-4 sweep
+    # optimum (the r3 3-pass ladder loses once occluders trim the far
+    # candidate tail); n_meas=2 — single-measurement huge-scene numbers
+    # varied 1.7-2.4 across processes (the r3 1.85-vs-2.05 discrepancy
+    # was exactly this variance, PERF.md round 4).
     huge = make_building_scene(atlas_res=256, rooms=(6, 5), subdiv=28)
     huge_mrays, huge_tris = _bake_scene(
-        huge, n_meas=1, fan_block=16, exit_rows=8,
-        two_pass_cut=0.06, two_pass_cut2=0.16, two_pass_cap=0.45,
+        huge, n_meas=2, fan_block=16, exit_rows=8, two_pass_cut=0.16,
+        occluders=True,
     )
 
-    # the Mat trainers default to stochastic-LOD mip sampling (unbiased;
-    # train/material.py) — bench the production training configuration
-    mat_ips, mat_pre = _mat_step(apt, render_knobs={"mip_stochastic": True})
+    # production Mat training configuration (train/material.py defaults):
+    # stochastic-LOD + stochastic-bilinear sampling (both quality-validated
+    # end-to-end, PERF.md round 4) + occluder PVS on the specular trace
+    knobs = {
+        "mip_stochastic": True,
+        "bilinear_stochastic": True,
+        "use_occluders": True,
+    }
+    mat_ips, mat_pre = _mat_step(apt, render_knobs=knobs)
+
+    # scan-scale Mat step (VERDICT r3 #5): stage-2 on the 104k building —
+    # G-buffer + 1.57M specular rays against real multi-room occlusion
+    mat_big_ips, _ = _mat_step(
+        big, render_knobs=knobs, cam_position=(12.0, 1.5, 7.2)
+    )
 
     print(
         json.dumps(
@@ -275,6 +293,13 @@ def main():
                     "unit": "s/view",
                     "note": "one-time per-view G-buffer+LOD precompute "
                             "(amortized across all epochs by the view cache)",
+                },
+                "mat_step_big": {
+                    "value": round(mat_big_ips, 3),
+                    "unit": "iters/s",
+                    "workload": "stage-2 step on the 104k-tri multi-room "
+                                "building (1.57M specular rays vs real "
+                                "occlusion)",
                 },
                 "big_scene": {
                     "value": round(big_mrays, 2),

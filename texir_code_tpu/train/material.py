@@ -106,11 +106,15 @@ class MatTrainRunner:
             from texir_code_tpu.models.material import render_knobs_from_conf
 
             knobs = render_knobs_from_conf(conf)
-            # training default: stochastic-LOD mip sampling (unbiased
-            # estimator of trilinear, ~12% faster steps — PERF.md round 3
-            # second pass); conf models.render.mip_stochastic overrides;
-            # eval/testers keep the exact trilinear path
+            # training defaults (conf models.render.* overrides; eval/
+            # testers keep the exact paths):
+            #  * stochastic-LOD mip sampling — unbiased estimator of
+            #    trilinear, ~12% faster steps, quality-validated
+            #    end-to-end against exact trilinear (PERF.md round 4)
+            #  * proven rectangular occluders — exact candidate-list PVS,
+            #    +2% apartment / +12% scan-scale steps (PERF.md round 4)
             knobs.setdefault("mip_stochastic", True)
+            knobs.setdefault("use_occluders", True)
             mesh = load_obj(path_mesh)
             hdr_tex = hdrio.read_hdr(
                 path_mesh.replace("out1.obj", "hdr_texture.hdr"), flip=True
