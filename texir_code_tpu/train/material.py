@@ -108,12 +108,15 @@ class MatTrainRunner:
             knobs = render_knobs_from_conf(conf)
             # training defaults (conf models.render.* overrides; eval/
             # testers keep the exact paths):
-            #  * stochastic-LOD mip sampling — unbiased estimator of
-            #    trilinear, ~12% faster steps, quality-validated
-            #    end-to-end against exact trilinear (PERF.md round 4)
+            #  * stochastic-LOD + stochastic-BILINEAR mip sampling — one
+            #    texture gather per tap, unbiased; quality-validated
+            #    end-to-end against exact trilinear AND LOD-only
+            #    stochastic (all three within ±0.4 dB on every metric,
+            #    PERF.md round 4); Mat step 4.78 → 5.37 iters/s
             #  * proven rectangular occluders — exact candidate-list PVS,
             #    +2% apartment / +12% scan-scale steps (PERF.md round 4)
             knobs.setdefault("mip_stochastic", True)
+            knobs.setdefault("bilinear_stochastic", True)
             knobs.setdefault("use_occluders", True)
             mesh = load_obj(path_mesh)
             hdr_tex = hdrio.read_hdr(
