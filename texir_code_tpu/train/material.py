@@ -116,7 +116,11 @@ class MatTrainRunner:
             #  * proven rectangular occluders — exact candidate-list PVS,
             #    +2% apartment / +12% scan-scale steps (PERF.md round 4)
             knobs.setdefault("mip_stochastic", True)
-            knobs.setdefault("bilinear_stochastic", True)
+            if knobs.get("mip_stochastic"):
+                # bilinear rides the stochastic-LOD rng columns — only
+                # default it on when LOD sampling is stochastic too
+                # (setting it alone is a conf error, models/material.py)
+                knobs.setdefault("bilinear_stochastic", True)
             knobs.setdefault("use_occluders", True)
             mesh = load_obj(path_mesh)
             hdr_tex = hdrio.read_hdr(

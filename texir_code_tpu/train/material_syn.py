@@ -119,6 +119,27 @@ class MatTrainSynRunner(MatTrainRunner):
             "roughness_mse": r_mse, "roughness_psnr": r_psnr,
             "roughness_ssim": r_ssim,
         }
+
+        # Mapped-texel metrics: ~22% of the atlas is chart gutter no
+        # triangle maps — unobservable by construction, frozen at init
+        # while the GT atlas carries wall values there.  Same principle as
+        # the reference's emitter postprocessing (reflectance unobservable
+        # → excluded); the full-atlas numbers above keep reference parity
+        # (train_material_syn.py compares full textures).
+        from texir_code_tpu.models.tracer_irt import bake_geometry_textures
+
+        geom = bake_geometry_textures(self.model.mesh, gt_a.shape[0])
+        valid = np.asarray(geom.valid).astype(bool)
+        if valid.shape == gt_a.shape[:2] and valid.any():
+            m_a = float(np.mean((albedo_s - gt_a)[valid] ** 2))
+            m_r = float(np.mean((rough - gt_r)[valid] ** 2))
+            out.update({
+                "mapped_fraction": float(valid.mean()),
+                "albedo_mse_mapped": m_a,
+                "albedo_psnr_mapped": float(mse_to_psnr(jnp.asarray(m_a))),
+                "roughness_mse_mapped": m_r,
+                "roughness_psnr_mapped": float(mse_to_psnr(jnp.asarray(m_r))),
+            })
         print("material eval:", out)
         return out
 
