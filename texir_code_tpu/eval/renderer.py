@@ -147,6 +147,7 @@ class EvalMaterialModel(MaterialModel):
             self.device_mesh, tbl.bvh, mvp, cam_position, self.cube_res,
             fan_scene=self.fan_scene if self.use_pallas else None,
             cluster_scene=self.cluster_scene if self.use_pallas else None,
+            occluders=self.occluders if self.use_pallas else None,
         )
         normal = jax.lax.stop_gradient(g.normal)
         position = jax.lax.stop_gradient(g.position)
@@ -199,6 +200,7 @@ class EvalMaterialModel(MaterialModel):
                 ),
                 dirs,
                 cluster_scene=self.cluster_scene if self.use_pallas else None,
+                occluders=self.occluders,
             )
             irr = jnp.stack(
                 shading.irradiance_estimator_soa(lighting, dirs, n, diffuse_spp),
@@ -223,6 +225,7 @@ class EvalMaterialModel(MaterialModel):
                 tuple(jnp.broadcast_to(p[:, None], (bb, s_spec)) for p in pts),
                 light_dirs,
                 cluster_scene=self.cluster_scene if self.use_pallas else None,
+                occluders=self.occluders,
             )
             spec = shading.specular_estimator_soa(
                 spec_light, half, n, view, light_dirs, rgh

@@ -79,10 +79,20 @@ class _TesterBase:
                 seg_path = path_mesh.replace("out1.obj", "0_seg_gray.png")
                 if os.path.exists(seg_path):
                     seg_texture = hdrio.read_gray(seg_path)[::-1]  # v-up
+            from texir_code_tpu.models.material import (
+                render_knobs_from_conf,
+            )
+
+            knobs = render_knobs_from_conf(conf)
+            # occluder PVS on the bulk secondary rays (exact; pays at the
+            # reference eval spp of 1024/256 — PERF.md round 4); the
+            # stochastic sampling knobs stay OFF here: eval is exact
+            knobs.setdefault("use_occluders", True)
             model = EvalMaterialModel(
                 mesh, hdr_tex, irt,
                 pano_res=self.pano_res, sample_light=tuple(sl),
                 hdr_exposure=hdr_exposure, seg_texture=seg_texture,
+                render_knobs=knobs,
             )
         self.model = model
         if params is None:

@@ -117,6 +117,7 @@ class _HeadBase:
             tuple(jnp.broadcast_to(p[:, None], (b, s_spec)) for p in pts),
             tuple(jax.lax.stop_gradient(d) for d in light_dirs),
             cluster_scene=self.cluster_scene if self.use_pallas else None,
+            occluders=getattr(self, "occluders", None),
         )
         spec = shading.specular_estimator_soa(lighting, half, n, view, light_dirs, rgh)
         return jnp.stack(spec, axis=-1) / s_spec
