@@ -389,3 +389,33 @@ def test_runner_substage_atlas_tp_matches_replicated(runner_env, tmp_path):
     np.testing.assert_allclose(ls, l1, rtol=1e-5)
     # the substage actually trained: albedo moved off its 0.5 init
     assert float(np.abs(np.asarray(r_tp.params.albedo) - 0.5).max()) > 1e-3
+
+
+def test_trainer_production_sampling_defaults(runner_env, tmp_path):
+    """The Mat trainers' production defaults (PERF.md round 4): stochastic
+    LOD + bilinear sampling and the occluder PVS — all conf-overridable,
+    and bilinear never defaults on when a conf disables mip_stochastic
+    (the pair is enforced by MaterialModel)."""
+    from texir_code_tpu.config import parse_string
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf_tpl = runner_env
+    conf = parse_string(conf_tpl.format(mesh=path_mesh, spmd="false", knobs=""))
+    r = MatTrainRunner(
+        conf, expname="defaults", exps_root=str(tmp_path / "exps"),
+        albedo_res=16, roughness_res=16,
+    )
+    assert r.model.mip_stochastic and r.model.bilinear_stochastic
+    assert r.model.use_occluders and r.model.occluders is not None
+
+    conf2 = parse_string(conf_tpl.format(
+        mesh=path_mesh, spmd="false",
+        knobs="mip_stochastic = false\n use_occluders = false",
+    ))
+    r2 = MatTrainRunner(
+        conf2, expname="exact", exps_root=str(tmp_path / "exps"),
+        albedo_res=16, roughness_res=16,
+    )
+    assert not r2.model.mip_stochastic
+    assert not r2.model.bilinear_stochastic  # must not ride the default
+    assert r2.model.occluders is None
