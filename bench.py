@@ -37,6 +37,13 @@ import time
 import numpy as np
 
 BASELINE_MRAYS = 15.0
+# Per-PROCESS salt folded into every RNG seed/texel id: the axon relay
+# replays IDENTICAL dispatches as ~0 ms, and that caching survives across
+# processes — a second bench run against a warm server replayed the
+# huge-scene superbatch and "measured" 13527 Mrays/s (round 4).  Within a
+# run, inputs already vary per iteration; the salt makes them unique
+# across runs too.
+RUN_SALT = int(time.time()) % 100_000
 SPP = 2048
 TEXEL_BATCH = 4096
 ATLAS_GEOM_RES = 128
@@ -115,7 +122,7 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
         return baker._sharded_super(
             jnp.asarray(pts[sl]).reshape(k, batch, 3),
             jnp.asarray(nrm[sl]).reshape(k, batch, 3),
-            ids, jnp.int32(7 + i0),
+            ids + RUN_SALT, jnp.int32(7 + i0 + RUN_SALT),
         )
 
     out = run(0, n_meas)  # warmup compile at the measured shape
@@ -178,7 +185,10 @@ def _mat_step(syn, render_knobs=None, cam_position=None):
     pre_dt = float("inf")
     for r in range(3):
         ext2 = np.eye(4, dtype=np.float32)
-        ext2[0:3, 3] = np.asarray(pos) + 0.01 * (r + 1)  # vary input (relay)
+        # vary input per call AND per process (relay replay, see RUN_SALT)
+        ext2[0:3, 3] = (
+            np.asarray(pos) + 0.01 * (r + 1) + 1e-5 * (RUN_SALT % 97)
+        )
         mvp2 = cube_mvp(jnp.asarray(ext2))
         t0 = time.time()
         v2 = jview(params, mvp2, jnp.asarray(ext2[0:3, 3]))
@@ -214,13 +224,16 @@ def _mat_step(syn, render_knobs=None, cam_position=None):
 
     jsteps = jax.jit(steps, donate_argnums=(0, 1))
     opt_state = opt.init(params)
-    params, opt_state, losses = jsteps(params, opt_state, jnp.int32(0))
+    params, opt_state, losses = jsteps(params, opt_state, jnp.int32(RUN_SALT))
     jax.block_until_ready(losses)
     best = float("inf")
     for r in range(3):  # best-of-3 (relay dispatch noise is heavy-tailed);
-        # the seed input varies per call — identical dispatches replay as ~0
+        # the seed input varies per call AND per process (RUN_SALT) —
+        # identical dispatches replay as ~0, even across bench runs
         t0 = time.time()
-        params, opt_state, losses = jsteps(params, opt_state, jnp.int32(r + 1))
+        params, opt_state, losses = jsteps(
+            params, opt_state, jnp.int32(RUN_SALT + r + 1)
+        )
         jax.block_until_ready(losses)
         best = min(best, time.time() - t0)
     return n / best, pre_dt
