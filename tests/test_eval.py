@@ -189,6 +189,31 @@ def test_mat_syn_runner(trained_env):
     m = runner.evaluate_materials()
     assert np.isfinite(m["albedo_psnr"]) and np.isfinite(m["roughness_psnr"])
 
+    # Padded artifacts (reference tools/padding_texture.py suffix
+    # convention): mapped texels bit-equal to the raw atlas, gutter texels
+    # filled from SOME mapped texel (no init value survives).
+    from texir_code_tpu.data import hdrio
+    from texir_code_tpu.models.tracer_irt import bake_geometry_textures
+
+    raw = hdrio.read_hdr(
+        os.path.join(runner.exp.plots_dir, "mat_albedo_final.hdr")
+    )
+    padded = hdrio.read_hdr(
+        os.path.join(runner.exp.plots_dir, "mat_albedo_final_padding.hdr")
+    )
+    valid = np.asarray(
+        bake_geometry_textures(runner.model.mesh, raw.shape[0]).valid
+    ).astype(bool)
+    assert valid.any() and not valid.all()
+    assert np.array_equal(padded[valid], raw[valid])
+    mapped_vals = {tuple(v) for v in raw[valid].reshape(-1, 3)}
+    gutter = padded[~valid].reshape(-1, 3)
+    for v in gutter[:: max(1, len(gutter) // 16)]:
+        assert tuple(v) in mapped_vals
+    # padded full-atlas metrics present
+    assert np.isfinite(m["albedo_psnr_padded"])
+    assert np.isfinite(m["roughness_psnr_padded"])
+
 
 def test_cli_demo_and_help(tmp_path):
     from texir_code_tpu.cli import main

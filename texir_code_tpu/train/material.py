@@ -178,6 +178,16 @@ class MatTrainRunner:
         self.sched_factor = conf.get_float("train.mat_sched_factor", default=0.8)
         self.plot_freq = conf.get_int("train.plot_freq", default=10)
         self.loss_type = conf.get_string("render_loss.loss_type", default="L1")
+        # EDT nearest-mapped fill of chart-gutter texels on the SAVED
+        # atlases (written as *_padding.hdr beside the raw files, the
+        # reference's own suffix convention).  The reference applies this
+        # postprocess to IrT (README.md:70, tools/padding_texture.py:49-87:
+        # "black regions ... due to the error of UV mapping ... we do a
+        # simple padding"); material atlases have the same unobservable
+        # gutter (~22% of texels frozen at init), and bilinear/mip taps at
+        # chart boundaries read it, so the padded copies are the artifacts
+        # a downstream consumer should texture with.
+        self.pad_materials = conf.get_bool("train.pad_materials", default=True)
 
         roomseg_dir = os.path.join(
             os.path.dirname(os.path.dirname(path_mesh)), "roomseg"
@@ -448,6 +458,20 @@ class MatTrainRunner:
         rough = np.asarray(self.params.roughness)
         hdrio.write_hdr(os.path.join(self.exp.plots_dir, f"mat_albedo_{tag}.hdr"), albedo)
         hdrio.write_hdr(os.path.join(self.exp.plots_dir, f"mat_roughness_{tag}.hdr"), rough)
+        if self.pad_materials:
+            from texir_code_tpu.models.tracer_irt import bake_geometry_textures
+            from texir_code_tpu.ops.postprocess import pad_texture
+
+            for name, tex in (("albedo", albedo), ("roughness", rough)):
+                valid = np.asarray(
+                    bake_geometry_textures(self.model.mesh, tex.shape[0]).valid
+                ).astype(bool)
+                hdrio.write_hdr(
+                    os.path.join(
+                        self.exp.plots_dir, f"mat_{name}_{tag}_padding.hdr"
+                    ),
+                    pad_texture(tex, valid),
+                )
         ckpt.save_checkpoint(
             self.exp.checkpoints_dir, 0,
             {"albedo": albedo, "roughness": rough},

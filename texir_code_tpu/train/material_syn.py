@@ -140,6 +140,20 @@ class MatTrainSynRunner(MatTrainRunner):
                 "roughness_mse_mapped": m_r,
                 "roughness_psnr_mapped": float(mse_to_psnr(jnp.asarray(m_r))),
             })
+            # Padded-atlas metrics: full-atlas comparison after the EDT
+            # nearest-mapped gutter fill (the *_padding.hdr artifacts,
+            # reference tools/padding_texture.py:49-87 applied to IrT per
+            # README.md:70) — what a consumer of the padded textures sees.
+            from texir_code_tpu.ops.postprocess import pad_texture
+
+            pa_a, pa_ps, pa_ss = metrics(pad_texture(albedo_s, valid), gt_a, 3)
+            pr_a, pr_ps, pr_ss = metrics(pad_texture(rough, valid), gt_r, 1)
+            out.update({
+                "albedo_mse_padded": pa_a, "albedo_psnr_padded": pa_ps,
+                "albedo_ssim_padded": pa_ss,
+                "roughness_mse_padded": pr_a, "roughness_psnr_padded": pr_ps,
+                "roughness_ssim_padded": pr_ss,
+            })
         print("material eval:", out)
         return out
 
