@@ -324,3 +324,17 @@ def test_occluder_actually_culls():
     _, count0, _ = cull_blocks(cs, o, o, dirs, 8)
     _, count1, _ = cull_blocks(cs, o, o, dirs, 8, occluders=occ)
     assert int(count1.sum()) < int(count0.sum())
+
+
+def test_extract_unstructured_mesh_yields_none():
+    """A mesh with no axis-aligned planar structure (random perturbed
+    vertices, as on a real scan) must conservatively yield NO occluders —
+    the trace then runs exactly as before (module docstring contract)."""
+    rng = np.random.default_rng(3)
+    base = make_room_mesh(subdiv=3)
+    vertices = base.vertices + rng.normal(0, 0.01, base.vertices.shape).astype(
+        np.float32
+    )
+    mesh = Mesh(vertices=vertices, faces=base.faces, uvs=base.uvs,
+                uv_faces=base.uv_faces)
+    assert extract_occluders(mesh) is None
