@@ -21,6 +21,27 @@ def test_padding_tool(tmp_path, rng):
     assert (out.sum(-1) > 0).all()  # seams filled
 
 
+def test_padding_tool_index_mode(tmp_path, rng):
+    """--index: uint16 fixed-point index textures pad bit-exact (reference
+    padding_index_texture, tools/padding_texture.py:8-47) — mapped texels
+    untouched, zero texels take the nearest mapped texel's packed value."""
+    cv2 = pytest.importorskip("cv2")
+    from texir_code_tpu.tools.padding_texture import main
+
+    idx = np.zeros((16, 16, 3), np.uint16)
+    idx[4:12, 4:12] = rng.integers(1, 50000, (8, 8, 3), dtype=np.uint16)
+    p_in = str(tmp_path / "in.png")
+    p_out = str(tmp_path / "out.png")
+    cv2.imwrite(p_in, idx)
+    assert main([p_in, p_out, "--index"]) == 0
+    out = cv2.imread(p_out, -1)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[4:12, 4:12], idx[4:12, 4:12])  # bit-exact
+    assert (out.reshape(16, 16, -1).sum(-1) > 0).all()  # gutter filled
+    # the fill comes from mapped texels (boundary texel takes its neighbor)
+    assert np.array_equal(out[3, 4], idx[4, 4])
+
+
 def test_trans_hdr_tex_multiview(rng):
     """Each texel pulls from the pano of the view id in channel 2
     (reference tools/trans_hdr_tex.py:27-54), at its own resolution."""
