@@ -135,6 +135,33 @@ def test_mat_runner(pipeline_env):
     assert np.isfinite(m["psnr"])
 
 
+def test_pad_materials_conf_gate(pipeline_env):
+    """train.pad_materials = false skips the *_padding.hdr artifacts;
+    default-on writes them next to the raw atlases (CLAUDE.md convention:
+    testers read the raw files either way)."""
+    import copy
+
+    from texir_code_tpu.data import hdrio
+    from texir_code_tpu.train.material import MatTrainRunner
+
+    scene, root, path_mesh, conf, exps = pipeline_env
+    irt_path = path_mesh.replace("out1.obj", "irt.hdr")
+    if not os.path.exists(irt_path):  # flat IrT: no bake needed here
+        hdrio.write_hdr(irt_path, np.full((16, 16, 3), 0.5, np.float32),
+                        flip=True)
+    conf_off = copy.deepcopy(conf)
+    conf_off.put("train.pad_materials", False)
+    runner = MatTrainRunner(
+        conf_off, expname="padoff", exps_root=exps, albedo_res=16,
+        roughness_res=16,
+    )
+    assert runner.pad_materials is False
+    runner.save_materials("t")
+    plots = runner.exp.plots_dir
+    assert os.path.exists(os.path.join(plots, "mat_albedo_t.hdr"))
+    assert not os.path.exists(os.path.join(plots, "mat_albedo_t_padding.hdr"))
+
+
 def test_mat_plot_to_disk(pipeline_env):
     """Periodic training plots write stacked pred/gt pano grids."""
     import glob
