@@ -46,7 +46,9 @@ def run_stage(stage, expname, extra=()):
         "--expname", expname, "--teststage", stage, *extra,
     ]
     print(f"== {stage}: {' '.join(cmd)}", flush=True)
-    env = dict(os.environ, TEXIR_PRINT_MEMORY="1")
+    # TEXIR_TIME_DEVICE: the Error tester appends a single-view
+    # device-vs-relay split (replayed-dispatch method, eval/runners.py)
+    env = dict(os.environ, TEXIR_PRINT_MEMORY="1", TEXIR_TIME_DEVICE="1")
     t0 = time.time()
     subprocess.run(cmd, cwd=REPO, check=True, env=env)
     dt = time.time() - t0

@@ -208,6 +208,10 @@ def main(argv=None):
     pt.add_argument("--timestamp", default="latest")
     pt.add_argument("--max_epochs", type=int, default=None)
     pt.add_argument("--irt_res", type=int, default=1024)
+    pt.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    dest="overrides",
+                    help="conf override (repeatable), e.g. "
+                         "--set train.path_mesh_open3d=./data/mesh/out1.obj")
     pt.add_argument("--debug_nans", action="store_true")
     # multi-host (pod-slice / multi-process) launch: every host runs the
     # same command with its own --process_id (parallel/multihost.py)
@@ -223,6 +227,8 @@ def main(argv=None):
     pe.add_argument("--exps_folder", default="exps")
     pe.add_argument("--timestamp", default="latest")
     pe.add_argument("--num_frames", type=int, default=60)
+    pe.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    dest="overrides", help="conf override (repeatable)")
     pe.add_argument("--relight_mode", default="emitter",
                     choices=["emitter", "pathtrace"])
     pe.add_argument("--debug_nans", action="store_true")
@@ -261,6 +267,13 @@ def main(argv=None):
     from texir_code_tpu.config import ConfigFactory
 
     conf = ConfigFactory.parse_file(args.conf)
+    for kv in getattr(args, "overrides", []) or []:
+        key, _, val = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects KEY=VAL, got {kv!r}")
+        from texir_code_tpu.config import _parse_value
+
+        conf.put(key.strip(), _parse_value(val.strip()))
     if args.command == "train":
         TRAIN_STAGES[args.trainstage](conf, args)
     else:

@@ -184,6 +184,7 @@ def export_reference_layout(
     gt_render: str = "radiance",
     gt_spp: int = 256,
     irt_spp: int = 512,
+    cameras=None,
 ) -> str:
     """Write the reference dataset layout; returns path_mesh (out1.obj).
 
@@ -207,8 +208,31 @@ def export_reference_layout(
         os.path.join(mesh_dir, "hdr_texture.hdr"), scene.hdr_texture, flip=True
     )
 
+    if scene.roomseg is not None:
+        # reference roomseg assets (utils/general.py:115-125): occupancy-
+        # grid meta "scale w h x_min z_min" + uchar room-id image, consumed
+        # by the Mat trainer's per-(room × class) seg prior
+        # (trainer/train_material.py:274-282, models/loss.py:286-293)
+        import cv2
+
+        rdir = os.path.join(root, "roomseg")
+        os.makedirs(rdir, exist_ok=True)
+        scale, w, h, x_min, z_min, room_img = scene.roomseg
+        with open(os.path.join(rdir, "originOccupancyGrid_f0.meta"), "w") as f:
+            f.write(f"{scale} {int(w)} {int(h)} {x_min} {z_min}\n")
+        cv2.imwrite(
+            os.path.join(rdir, "roomSegs_uchar_f0.png"),
+            np.ascontiguousarray(room_img.astype(np.uint8)),
+        )
+
     tbl = build_tbl(scene.mesh, scene.hdr_texture)
-    cams = scene.camera_positions(n_views)
+    # explicit cameras override the default ring (multi-room scenes place
+    # one camera per room so every room is photographed)
+    cams = (
+        np.asarray(cameras, np.float32) if cameras is not None
+        else scene.camera_positions(n_views)
+    )
+    n_views = len(cams)
     ids = [f"view{i:03d}" for i in range(n_views)]
 
     with open(os.path.join(root, "info", "aligned.txt"), "w") as f:

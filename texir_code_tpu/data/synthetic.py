@@ -136,6 +136,10 @@ class SyntheticScene:
     seg_texture: np.ndarray      # [R, R] int32 per-texel seg class (=wall id)
     lamp_radiance: float
     size: Tuple[float, float, float]
+    # room segmentation in the reference's occupancy-grid format
+    # (scale, w, h, x_min, z_min, room_img [H, W] uint8), matching
+    # utils/general.py:115-125 parse_roomseg; None for single-room scenes
+    roomseg: Optional[tuple] = None
 
     def camera_positions(self, n: int = 4) -> np.ndarray:
         """n interior camera positions on a ring."""
@@ -211,6 +215,30 @@ def make_scene(
         lamp_radiance=lamp_radiance,
         size=size,
     )
+
+
+def make_roomseg(
+    size: Tuple[float, float, float],
+    room_of_xz,
+    cell: float = 0.05,
+    margin: float = 0.2,
+) -> tuple:
+    """Occupancy-grid room segmentation in the reference's format.
+
+    The reference's roomseg assets are a meta line "scale w h x_min z_min"
+    plus a uchar room-id image sampled at world (x, z)
+    (utils/general.py:115-125; lookup u=(x-x_min)/scale/w at
+    trainer/train_material.py:274-282).  `room_of_xz(X, Z)` maps world
+    coordinate grids to integer room ids (≥1; 0 = outside)."""
+    sx, _, sz = size
+    x_min, z_min = -margin, -margin
+    w = int(np.ceil((sx + 2 * margin) / cell))
+    h = int(np.ceil((sz + 2 * margin) / cell))
+    xs = x_min + (np.arange(w) + 0.5) * cell
+    zs = z_min + (np.arange(h) + 0.5) * cell
+    X, Z = np.meshgrid(xs, zs)  # [h, w]: row = z, col = x
+    img = np.asarray(room_of_xz(X, Z), np.uint8)
+    return (cell, float(w), float(h), float(x_min), float(z_min), img)
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +420,8 @@ def make_apartment_scene(
     return SyntheticScene(
         mesh=mesh, hdr_texture=hdr, gt_albedo=gt_albedo, gt_roughness=gt_rough,
         seg_texture=seg, lamp_radiance=lamp_radiance, size=size,
+        # two rooms split by the divider wall at x = dx
+        roomseg=make_roomseg(size, lambda X, Z: 1 + (X >= dx)),
     )
 
 
@@ -534,7 +564,13 @@ def make_building_scene(
                 lamp_radiance
             )
 
+    def room_of_xz(X, Z):
+        i = np.clip((X / room_size[0]).astype(int), 0, rx - 1)
+        j = np.clip((Z / room_size[2]).astype(int), 0, rz - 1)
+        return 1 + i + j * rx
+
     return SyntheticScene(
         mesh=mesh, hdr_texture=hdr, gt_albedo=gt_albedo, gt_roughness=gt_rough,
         seg_texture=seg, lamp_radiance=lamp_radiance, size=(sx, sy, sz),
+        roomseg=make_roomseg((sx, sy, sz), room_of_xz),
     )

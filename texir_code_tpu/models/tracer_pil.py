@@ -27,32 +27,33 @@ from texir_code_tpu.ops.shading import fresnel_schlick_ue4, smith_g
 
 
 class TracerPIL:
-    def __init__(self, tbl: TBL, network: Optional[PILNetwork] = None):
+    def __init__(self, tbl: TBL, network: Optional[PILNetwork] = None,
+                 spmd_mesh=None):
         self.tbl = tbl
         self.network = network or PILNetwork(dims=(128,) * 4)
+        # optional RAY_AXIS mesh: trace sharded over points, per-row global
+        # RNG keys keep it device-count-invariant (see tracer_irrf.TracerIRRF)
+        self.spmd_mesh = spmd_mesh
 
     def init_params(self, key: jax.Array):
         return self.network.init(
             key, jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.zeros((1, 1))
         )
 
-    @partial(jax.jit, static_argnames=("self", "num_samples"))
-    def trace_gt(
-        self,
-        points: jnp.ndarray,
-        normals: jnp.ndarray,
-        num_samples: int,
-        key: jax.Array,
-    ):
-        """(roughness [B,1], wo [B,3], gt prefiltered radiance [B,3])."""
+    def _trace_rows(self, points, normals, row_keys, num_samples, roughness):
         b = points.shape[0]
-        k_r, k_h, k_wo = jax.random.split(key, 3)
-        roughness = jax.random.uniform(k_r, (b, 1))
+        rk_r = jax.vmap(lambda k: jax.random.fold_in(k, 1))(row_keys)
+        rk_h = jax.vmap(lambda k: jax.random.fold_in(k, 2))(row_keys)
+        rk_wo = jax.vmap(lambda k: jax.random.fold_in(k, 3))(row_keys)
+        if roughness is None:
+            roughness = jax.vmap(lambda k: jax.random.uniform(k, (1,)))(rk_r)
         half = generate_dir(
-            normals, num_samples, k_h, mode="importance", roughness=roughness
+            normals, num_samples, rk_h[0], mode="importance",
+            roughness=roughness, row_keys=rk_h,
         )
         wo = generate_dir(
-            normals, 1, k_wo, mode="uniform", pre_mode="independent"
+            normals, 1, rk_wo[0], mode="uniform", pre_mode="independent",
+            row_keys=rk_wo,
         )[:, 0, :]
         light_dirs, _ = reflect(wo, half)
         lighting = query_tbl_multi(self.tbl, points, light_dirs)
@@ -62,6 +63,47 @@ class TracerPIL:
         )
         gt = jnp.sum(lighting * ndl, axis=1) * 2 * jnp.pi / num_samples
         return roughness, wo, gt
+
+    @partial(jax.jit, static_argnames=("self", "num_samples"))
+    def trace_gt(
+        self,
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        num_samples: int,
+        key: jax.Array,
+        roughness: jnp.ndarray = None,
+    ):
+        """(roughness [B,1], wo [B,3], gt prefiltered radiance [B,3]).
+
+        roughness: optional fixed [B, 1] values (validation sweeps over a
+        fixed roughness grid); None (training) draws uniform per point
+        (reference models/tracer_o3d_pil.py:87)."""
+        b = points.shape[0]
+        row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        mesh = self.spmd_mesh
+        if mesh is None or b % mesh.devices.size != 0:
+            return self._trace_rows(points, normals, row_keys, num_samples,
+                                    roughness)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from texir_code_tpu.parallel.mesh import RAY_AXIS
+
+        sharded = P(RAY_AXIS)
+        in_specs = [sharded, sharded, sharded]
+        args = [points, normals, row_keys]
+        if roughness is not None:
+            in_specs.append(sharded)
+            args.append(roughness)
+
+        def body(p, n, rk, *rest):
+            r = rest[0] if rest else None
+            return self._trace_rows(p, n, rk, num_samples, r)
+
+        return shard_map(
+            body, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=(sharded, sharded, sharded),
+        )(*args)
 
     def forward(
         self,

@@ -40,6 +40,12 @@ def pad_index_texture(img: np.ndarray) -> np.ndarray:
     from texir_code_tpu.ops.postprocess import pad_texture
 
     valid = img.reshape(img.shape[0], img.shape[1], -1).sum(-1) > 0
+    if not valid.any():
+        # distance_transform_edt with no background degenerates — the
+        # "padded" output would be the broken all-zero input, silently
+        raise ValueError(
+            "index texture has no non-zero texel: nothing to pad from"
+        )
     return pad_texture(img, valid)
 
 

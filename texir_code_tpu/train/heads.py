@@ -22,6 +22,28 @@ from texir_code_tpu.train import checkpoints as ckpt
 from texir_code_tpu.train.exp import ExperimentDir, seed_everything
 
 
+def make_lr_schedule(lr, sched_step, factor, steps_per_epoch):
+    """StepLR / MultiStepLR equivalent, per optimizer step.
+
+    A scalar `sched_step` is the reference's StepLR period in epochs; a
+    list is MultiStepLR milestones (the reference head trainers:
+    trainer/train_material_neilf.py:126-128 default [30, 30],
+    syn_neilf.conf [20, 20]).  Duplicate milestones compound the gamma,
+    matching torch's milestone-count semantics."""
+    import optax
+
+    if isinstance(sched_step, (list, tuple)):
+        boundaries: Dict[int, float] = {}
+        for m in sched_step:
+            b = int(m) * steps_per_epoch
+            boundaries[b] = boundaries.get(b, 1.0) * factor
+        return optax.piecewise_constant_schedule(lr, boundaries)
+    return optax.exponential_decay(
+        lr, transition_steps=int(sched_step) * steps_per_epoch,
+        decay_rate=factor, staircase=True,
+    )
+
+
 class BaselineHeadRunner:
     """Single-stage trainer over one of the baseline material heads.
 
@@ -95,13 +117,10 @@ class BaselineHeadRunner:
 
         self.nepochs = max_epochs or conf.get_int("train.mat_epoch", default=40)
         lr = conf.get_float("train.mat_learning_rate", default=3e-2)
-        sched_step = conf.get_int("train.mat_sched_step", default=20)
+        sched_step = conf.get("train.mat_sched_step", 20)
         factor = conf.get_float("train.mat_sched_factor", default=0.8)
         steps_per_epoch = max(1, len(self.dataset))
-        schedule = optax.exponential_decay(
-            lr, transition_steps=sched_step * steps_per_epoch,
-            decay_rate=factor, staircase=True,
-        )
+        schedule = make_lr_schedule(lr, sched_step, factor, steps_per_epoch)
         self.optimizer = optax.adam(schedule)
         self.opt_state = self.optimizer.init(self.params)
         self._raw_step = self._make_step()

@@ -8,6 +8,7 @@ TBL, Adam + StepLR over the MLP.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -57,6 +58,9 @@ class _PointFieldRunner:
         else:
             tex = hdrio.read_image(path_mesh.replace("out1.obj", "texture.png")) ** 2.2
         tbl = build_tbl(mesh, tex, hdr_exposure)
+        from texir_code_tpu.parallel.mesh import parallel_meshes_from_conf
+
+        self.spmd_mesh, _ = parallel_meshes_from_conf(conf)
         self.model = self._build_model(tbl)
 
         self.train_dataset = MeshPoint(
@@ -182,7 +186,12 @@ class _PointFieldRunner:
         ckpt.save_checkpoint(
             self.exp.checkpoints_dir, self.nepochs, {"params": self.params}
         )
+        self.validate(self.nepochs)  # final convergence metric (VERDICT r4 #5)
         return self.params
+
+    def validate(self, epoch: int):
+        """Stage-specific convergence metric; overridden per runner."""
+        return None
 
 
 class IRFTrainRunner(_PointFieldRunner):
@@ -200,7 +209,54 @@ class IRFTrainRunner(_PointFieldRunner):
             dirs_multires=net_conf.get_int("dirs_multires", default=4),
             dims=tuple(net_conf.get_list("dims", default=[512] * 8)),
         ) if net_conf is not None else IRNetwork()
-        return TracerIRF(tbl, net)
+        return TracerIRF(tbl, net, spmd_mesh=self.spmd_mesh)
+
+    def validate(self, epoch: int):
+        """Direction-averaged radiance pano of the fixed val view, pred vs
+        traced GT, with PSNR/SSIM (the reference validates this stage
+        visually by averaging per-direction radiance,
+        trainer/train_irf.py:191-206; the metric is ours)."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.data.datasets import ImageMeshPoint
+        from texir_code_tpu.models.losses import ssim
+        from texir_code_tpu.ops.shading import hdr_recover, mse_to_psnr, tonemap
+
+        val_res = tuple(self.conf.get_list("val.env_res", default=[64, 128]))
+        sample_res = tuple(
+            self.conf.get_list("train.val_sample_res", default=[16, 32])
+        )
+        val = ImageMeshPoint(
+            self.conf.get_string("train.path_mesh_open3d"), env_res=val_res
+        )
+        h, w = val_res
+        preds, gts = [], []
+        for bi, batch in enumerate(val.batches(512)):
+            k = jax.random.fold_in(self.key, 40_000 + bi)
+            pts = jnp.asarray(batch["points"])
+            nrm = jnp.asarray(batch["normals"])
+            out = self.model.forward(self.params, pts, nrm, sample_res, k)
+            # mean over directions: GT is linear radiance, pred log-domain
+            gts.append(np.asarray(jnp.mean(out["gt"], axis=1)))
+            preds.append(np.asarray(jnp.mean(hdr_recover(out["pred"]), axis=1)))
+        pred = np.concatenate(preds).reshape(h, w, 3)
+        gt = np.concatenate(gts).reshape(h, w, 3)
+        hdrio.plot_irf(
+            os.path.join(self.exp.plots_dir, f"irf_{epoch}.hdr"), pred, gt
+        )
+        p_tm, g_tm = tonemap(jnp.asarray(pred)), tonemap(jnp.asarray(gt))
+        m = float(jnp.mean((p_tm - g_tm) ** 2))
+        self.val_metrics = {
+            "val_mse": m,
+            "val_psnr": float(mse_to_psnr(jnp.asarray(m))),
+        }
+        if min(h, w) >= 11:  # the SSIM window needs 11 px
+            self.val_metrics["val_ssim"] = float(ssim(p_tm[None], g_tm[None]))
+        print(f"IRF val [{epoch}]:", self.val_metrics)
+        for k2, v in self.val_metrics.items():
+            self.writer.add_scalar(k2, v, epoch)
+        return self.val_metrics
 
 
 class PILTrainRunner(_PointFieldRunner):
@@ -211,4 +267,45 @@ class PILTrainRunner(_PointFieldRunner):
     def _build_model(self, tbl):
         from texir_code_tpu.models.tracer_pil import TracerPIL
 
-        return TracerPIL(tbl)
+        return TracerPIL(tbl, spmd_mesh=self.spmd_mesh)
+
+    def validate(self, epoch: int, roughness_grid=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 val_spp: int = 512, n_points: int = 1024):
+        """Prefiltered-radiance PSNR over a FIXED roughness grid: at held
+        val surface points, the network's prediction vs a high-spp MC
+        ground truth traced at each grid roughness (the reference has no
+        metric for this stage; VERDICT r4 #5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from texir_code_tpu.models.losses import ssim  # noqa: F401 (parity)
+        from texir_code_tpu.ops.shading import hdr_recover, mse_to_psnr, tonemap
+
+        # fixed, seed-deterministic val point set (independent of the
+        # per-epoch training resample)
+        from texir_code_tpu.data.datasets import MeshPoint
+
+        n_points = self.conf.get_int("val.pil_points", default=n_points)
+        val_spp = self.conf.get_int("val.pil_spp", default=val_spp)
+        val_ds = MeshPoint(
+            self.conf.get_string("train.path_mesh_open3d"),
+            num_sample=n_points, seed=4242,
+        )
+        pts = jnp.asarray(val_ds.points)
+        nrm = jnp.asarray(val_ds.normals)
+        self.val_metrics = {}
+        psnrs = []
+        for r in roughness_grid:
+            rough = jnp.full((pts.shape[0], 1), r, jnp.float32)
+            k = jax.random.fold_in(self.key, 50_000 + int(r * 100))
+            _, wo, gt = self.model.trace_gt(pts, nrm, val_spp, k, rough)
+            pred = hdr_recover(self.model.network.apply(self.params, pts, wo, rough))
+            m = float(jnp.mean((tonemap(pred) - tonemap(gt)) ** 2))
+            p = float(mse_to_psnr(jnp.asarray(m)))
+            self.val_metrics[f"val_psnr_r{r:g}"] = p
+            psnrs.append(p)
+        self.val_metrics["val_psnr"] = float(np.mean(psnrs))
+        print(f"PIL val [{epoch}]:", self.val_metrics)
+        for k2, v in self.val_metrics.items():
+            self.writer.add_scalar(k2, v, epoch)
+        return self.val_metrics

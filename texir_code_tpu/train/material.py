@@ -178,6 +178,11 @@ class MatTrainRunner:
         self.sched_factor = conf.get_float("train.mat_sched_factor", default=0.8)
         self.plot_freq = conf.get_int("train.plot_freq", default=10)
         self.loss_type = conf.get_string("render_loss.loss_type", default="L1")
+        # diagnostic scale on the stage-1/2 roughness prior terms
+        # (models/losses.py::render_loss); 1.0 = reference parity
+        self.seg_weight_scale = conf.get_float(
+            "render_loss.seg_weight_scale", default=1.0
+        )
         # EDT nearest-mapped fill of chart-gutter texels on the SAVED
         # atlases (written as *_padding.hdr beside the raw files, the
         # reference's own suffix convention).  The reference applies this
@@ -195,6 +200,22 @@ class MatTrainRunner:
         self.roomseg = parse_roomseg(roomseg_dir)
 
         self.masks: Dict[str, Dict[str, np.ndarray]] = {}
+        # per-resolution mapped-texel masks (depend only on mesh + res);
+        # baking one is a full texture-space rasterization, so cache across
+        # textures and repeated save/eval calls (ADVICE r4)
+        self._valid_cache: Dict[int, np.ndarray] = {}
+
+    def _valid_mask(self, res: int) -> np.ndarray:
+        """[res, res] bool mapped-texel mask, cached per resolution."""
+        cached = self._valid_cache.get(res)
+        if cached is None:
+            from texir_code_tpu.models.tracer_irt import bake_geometry_textures
+
+            cached = np.asarray(
+                bake_geometry_textures(self.model.mesh, res).valid
+            ).astype(bool)
+            self._valid_cache[res] = cached
+        return cached
 
     # ------------------------------------------------------------------
     def _train_indices(self):
@@ -259,6 +280,12 @@ class MatTrainRunner:
                 "room_id": room_id,
                 "n_rooms": n_rooms,
             }
+        if self.roomseg is not None and self.masks:
+            n = max(m["n_rooms"] for m in self.masks.values())
+            print(
+                f"roomseg active: n_rooms={n} — stage-2 seg prior runs "
+                f"per (room x class) [mode 2]", flush=True,
+            )
 
     # ------------------------------------------------------------------
     def _make_step(self, stage: int, optimizer):
@@ -271,6 +298,7 @@ class MatTrainRunner:
 
         model = self.model
         loss_type = self.loss_type
+        seg_weight_scale = self.seg_weight_scale
         num_classes = NUM_SEG_CLASSES + 1  # +1 ignore bucket (eroded floor rim)
 
         def step(params, opt_state, mvp, cam_pos, gt, gt_mask, seg_id,
@@ -284,7 +312,7 @@ class MatTrainRunner:
                     gt, out, gt_mask, seg_id, num_classes, stage,
                     highlight=highlight, seg_region=seg_region,
                     room_id=room_id, num_rooms=n_rooms,
-                    loss_type=loss_type,
+                    loss_type=loss_type, seg_weight_scale=seg_weight_scale,
                 )
                 return total, seg_term
 
@@ -459,13 +487,10 @@ class MatTrainRunner:
         hdrio.write_hdr(os.path.join(self.exp.plots_dir, f"mat_albedo_{tag}.hdr"), albedo)
         hdrio.write_hdr(os.path.join(self.exp.plots_dir, f"mat_roughness_{tag}.hdr"), rough)
         if self.pad_materials:
-            from texir_code_tpu.models.tracer_irt import bake_geometry_textures
             from texir_code_tpu.ops.postprocess import pad_texture
 
             for name, tex in (("albedo", albedo), ("roughness", rough)):
-                valid = np.asarray(
-                    bake_geometry_textures(self.model.mesh, tex.shape[0]).valid
-                ).astype(bool)
+                valid = self._valid_mask(tex.shape[0])
                 hdrio.write_hdr(
                     os.path.join(
                         self.exp.plots_dir, f"mat_{name}_{tag}_padding.hdr"

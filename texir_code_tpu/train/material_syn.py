@@ -125,16 +125,22 @@ class MatTrainSynRunner(MatTrainRunner):
         # while the GT atlas carries wall values there.  Same principle as
         # the reference's emitter postprocessing (reflectance unobservable
         # → excluded); the full-atlas numbers above keep reference parity
-        # (train_material_syn.py compares full textures).
-        from texir_code_tpu.models.tracer_irt import bake_geometry_textures
-
-        geom = bake_geometry_textures(self.model.mesh, gt_a.shape[0])
-        valid = np.asarray(geom.valid).astype(bool)
-        if valid.shape == gt_a.shape[:2] and valid.any():
-            m_a = float(np.mean((albedo_s - gt_a)[valid] ** 2))
-            m_r = float(np.mean((rough - gt_r)[valid] ** 2))
+        # (train_material_syn.py compares full textures).  The masks are
+        # baked at EACH prediction's own (GT) resolution — albedo and
+        # roughness atlases may differ (ADVICE r4).
+        valid_a = self._valid_mask(gt_a.shape[0])
+        valid_r = (
+            valid_a if gt_r.shape[:2] == gt_a.shape[:2]
+            else self._valid_mask(gt_r.shape[0])
+        )
+        if (
+            valid_a.shape == gt_a.shape[:2] and valid_a.any()
+            and valid_r.shape == gt_r.shape[:2] and valid_r.any()
+        ):
+            m_a = float(np.mean((albedo_s - gt_a)[valid_a] ** 2))
+            m_r = float(np.mean((rough - gt_r)[valid_r] ** 2))
             out.update({
-                "mapped_fraction": float(valid.mean()),
+                "mapped_fraction": float(valid_a.mean()),
                 "albedo_mse_mapped": m_a,
                 "albedo_psnr_mapped": float(mse_to_psnr(jnp.asarray(m_a))),
                 "roughness_mse_mapped": m_r,
@@ -146,8 +152,8 @@ class MatTrainSynRunner(MatTrainRunner):
             # README.md:70) — what a consumer of the padded textures sees.
             from texir_code_tpu.ops.postprocess import pad_texture
 
-            pa_a, pa_ps, pa_ss = metrics(pad_texture(albedo_s, valid), gt_a, 3)
-            pr_a, pr_ps, pr_ss = metrics(pad_texture(rough, valid), gt_r, 1)
+            pa_a, pa_ps, pa_ss = metrics(pad_texture(albedo_s, valid_a), gt_a, 3)
+            pr_a, pr_ps, pr_ss = metrics(pad_texture(rough, valid_r), gt_r, 1)
             out.update({
                 "albedo_mse_padded": pa_a, "albedo_psnr_padded": pa_ps,
                 "albedo_ssim_padded": pa_ss,
