@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from texir_code_tpu.models.fields import IRNetwork
-from texir_code_tpu.models.tbl import TBL, query_tbl_multi
+from texir_code_tpu.models.tbl import TBL
 from texir_code_tpu.ops.sampling import generate_dir
 
 
@@ -23,23 +23,37 @@ class TracerIRF:
     """View-dependent radiance tracer: {gt [B,S,3], pred [B,S,3]}."""
 
     def __init__(self, tbl: TBL, network: Optional[IRNetwork] = None,
-                 spmd_mesh=None):
+                 spmd_mesh=None, fan_scene=None, cluster_scene=None):
         self.tbl = tbl
         self.network = network or IRNetwork(dims=(512,) * 8)
         # optional RAY_AXIS mesh: trace sharded over points, per-row global
         # RNG keys keep it device-count-invariant (see tracer_irrf.TracerIRRF)
         self.spmd_mesh = spmd_mesh
+        # optional Pallas ray-engine scenes (culled wedge kernel on TPU;
+        # the skip-link traversal is the CPU/fallback path — see TracerIRRF)
+        self.fan_scene = fan_scene
+        self.cluster_scene = cluster_scene
 
     def init_params(self, key: jax.Array):
         return self.network.init(key, jnp.zeros((1, 3)), jnp.zeros((1, 3)))
 
     def _trace_rows(self, points, normals, row_keys, resolution):
+        from texir_code_tpu.models.tbl import query_tbl_auto
+
         s = resolution[0] * resolution[1]
+        b = points.shape[0]
         dirs = generate_dir(
             normals, s, row_keys[0], mode="uniform", row_keys=row_keys
         )
-        gt = query_tbl_multi(self.tbl, points, dirs)
-        return dirs, gt
+        pts = tuple(
+            jnp.broadcast_to(points[:, None, k], (b, s)) for k in range(3)
+        )
+        lighting = query_tbl_auto(
+            self.tbl, self.fan_scene,
+            pts, tuple(dirs[..., k] for k in range(3)),
+            cluster_scene=self.cluster_scene,
+        )
+        return dirs, jnp.stack(lighting, axis=-1)
 
     @partial(jax.jit, static_argnames=("self", "resolution"))
     def trace_gt(

@@ -21,19 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from texir_code_tpu.models.fields import PILNetwork
-from texir_code_tpu.models.tbl import TBL, query_tbl_multi
+from texir_code_tpu.models.tbl import TBL
 from texir_code_tpu.ops.sampling import generate_dir, reflect
 from texir_code_tpu.ops.shading import fresnel_schlick_ue4, smith_g
 
 
 class TracerPIL:
     def __init__(self, tbl: TBL, network: Optional[PILNetwork] = None,
-                 spmd_mesh=None):
+                 spmd_mesh=None, fan_scene=None, cluster_scene=None):
         self.tbl = tbl
         self.network = network or PILNetwork(dims=(128,) * 4)
         # optional RAY_AXIS mesh: trace sharded over points, per-row global
         # RNG keys keep it device-count-invariant (see tracer_irrf.TracerIRRF)
         self.spmd_mesh = spmd_mesh
+        # optional Pallas ray-engine scenes (culled wedge kernel on TPU;
+        # the skip-link traversal is the CPU/fallback path — see TracerIRRF)
+        self.fan_scene = fan_scene
+        self.cluster_scene = cluster_scene
 
     def init_params(self, key: jax.Array):
         return self.network.init(
@@ -56,7 +60,20 @@ class TracerPIL:
             row_keys=rk_wo,
         )[:, 0, :]
         light_dirs, _ = reflect(wo, half)
-        lighting = query_tbl_multi(self.tbl, points, light_dirs)
+        from texir_code_tpu.models.tbl import query_tbl_auto
+
+        pts = tuple(
+            jnp.broadcast_to(points[:, None, k], (b, num_samples))
+            for k in range(3)
+        )
+        lighting = jnp.stack(
+            query_tbl_auto(
+                self.tbl, self.fan_scene,
+                pts, tuple(light_dirs[..., k] for k in range(3)),
+                cluster_scene=self.cluster_scene,
+            ),
+            axis=-1,
+        )
         ndl = jnp.clip(
             jnp.sum(normals[:, None, :] * light_dirs, axis=-1, keepdims=True),
             0.0, 1.0,

@@ -58,8 +58,18 @@ class _PointFieldRunner:
         else:
             tex = hdrio.read_image(path_mesh.replace("out1.obj", "texture.png")) ** 2.2
         tbl = build_tbl(mesh, tex, hdr_exposure)
+        from texir_code_tpu.geometry.bvh import build_bvh
+        from texir_code_tpu.ops.fan_raycast import FanScene
+        from texir_code_tpu.ops.pallas_culled import ClusterScene
         from texir_code_tpu.parallel.mesh import parallel_meshes_from_conf
 
+        flat = build_bvh(mesh.vertices, mesh.faces)
+        self.fan_scene = FanScene.from_flat(
+            flat, triangle_uvs=mesh.triangle_uvs()
+        )
+        self.cluster_scene = ClusterScene.from_fan(
+            self.fan_scene, lb=8, dense=True
+        )
         self.spmd_mesh, _ = parallel_meshes_from_conf(conf)
         self.model = self._build_model(tbl)
 
@@ -209,7 +219,10 @@ class IRFTrainRunner(_PointFieldRunner):
             dirs_multires=net_conf.get_int("dirs_multires", default=4),
             dims=tuple(net_conf.get_list("dims", default=[512] * 8)),
         ) if net_conf is not None else IRNetwork()
-        return TracerIRF(tbl, net, spmd_mesh=self.spmd_mesh)
+        return TracerIRF(
+            tbl, net, spmd_mesh=self.spmd_mesh,
+            fan_scene=self.fan_scene, cluster_scene=self.cluster_scene,
+        )
 
     def validate(self, epoch: int):
         """Direction-averaged radiance pano of the fixed val view, pred vs
@@ -267,7 +280,10 @@ class PILTrainRunner(_PointFieldRunner):
     def _build_model(self, tbl):
         from texir_code_tpu.models.tracer_pil import TracerPIL
 
-        return TracerPIL(tbl, spmd_mesh=self.spmd_mesh)
+        return TracerPIL(
+            tbl, spmd_mesh=self.spmd_mesh,
+            fan_scene=self.fan_scene, cluster_scene=self.cluster_scene,
+        )
 
     def validate(self, epoch: int, roughness_grid=(0.1, 0.3, 0.5, 0.7, 0.9),
                  val_spp: int = 512, n_points: int = 1024):
