@@ -234,7 +234,7 @@ class BaselineHeadRunner:
 
 
 def evaluate_head_materials_syn(
-    runner: "BaselineHeadRunner", texture_res: int = 128
+    runner: "BaselineHeadRunner", texture_res: Optional[int] = None
 ) -> Dict[str, float]:
     """Synthetic-GT evaluation for the baseline heads (the reference's
     train_material_{invrender,neilf,recMLP}_syn.py variants): query the
@@ -252,6 +252,8 @@ def evaluate_head_materials_syn(
     if not isinstance(ds, ImageCubeSyn) or ds.gt_albedo is None:
         raise ValueError("synthetic evaluation needs an ImageCubeSyn dataset with GT")
 
+    if texture_res is None:
+        texture_res = ds.gt_albedo.shape[0]  # query the field at GT res
     geom = bake_geometry_textures(runner.model.mesh, texture_res)
     vr, vc = np.nonzero(geom.valid)
     pts = jnp.asarray(geom.position[vr, vc])
@@ -269,6 +271,13 @@ def evaluate_head_materials_syn(
     gt_a, gt_r = ds.gt_albedo, ds.gt_roughness
     albedo = resample(albedo, gt_a.shape[:2])
     rough = resample(rough, gt_r.shape[:2])
+    # mapped mask resampled alongside: gutter texels map no triangle, the
+    # field is never queried there (pred stays 0) and the value is
+    # unobservable by construction — mapped-only metrics are the
+    # apples-to-apples column against the flagship's (PERF.md round 3)
+    valid = resample(
+        np.asarray(geom.valid).astype(np.float32)[..., None], gt_a.shape[:2]
+    )[..., 0] > 0
     s = scale_compute(gt_a, albedo)
     albedo_s = np.clip(albedo * s, 0, 1)
 
@@ -282,10 +291,17 @@ def evaluate_head_materials_syn(
 
     a = metrics(albedo_s, gt_a)
     r = metrics(rough, gt_r)
+    m_a = float(np.mean((albedo_s - gt_a)[valid] ** 2))
+    m_r = float(np.mean((rough - gt_r)[valid] ** 2))
     out = {
         "albedo_scale": s,
         "albedo_mse": a[0], "albedo_psnr": a[1], "albedo_ssim": a[2],
         "roughness_mse": r[0], "roughness_psnr": r[1], "roughness_ssim": r[2],
+        "mapped_fraction": float(valid.mean()),
+        "albedo_mse_mapped": m_a,
+        "albedo_psnr_mapped": float(mse_to_psnr(jnp.asarray(m_a))),
+        "roughness_mse_mapped": m_r,
+        "roughness_psnr_mapped": float(mse_to_psnr(jnp.asarray(m_r))),
     }
     print(f"{runner.head} material eval:", out)
     return out
@@ -398,6 +414,7 @@ class BaselineHeadSynRunner(BaselineHeadRunner):
                 k: float("nan") for k in (
                     "albedo_scale", "albedo_mse", "albedo_psnr", "albedo_ssim",
                     "roughness_mse", "roughness_psnr", "roughness_ssim",
+                    "albedo_psnr_mapped", "roughness_psnr_mapped",
                 )
             })
         return metrics
