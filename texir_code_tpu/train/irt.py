@@ -75,6 +75,10 @@ class IrrTextureRunner:
         # to seed per-ray t bounds (exact; pays on multi-room scans)
         proxy_k = conf.get_int("train.bake_proxy_k", default=0)
         texel_batch = conf.get_int("train.texel_batch", default=4096)
+        # batches folded into ONE lax.map dispatch (numerically identical;
+        # amortizes the tunneled relay's per-dispatch tail, which degrades
+        # to tens of seconds when the pool is loaded — PERF.md round 5)
+        kd = conf.get_int("train.bake_batches_per_dispatch", default=0)
         wedges = conf.get_int("train.bake_wedges", default=4)
         fan = None
         clusters = None
@@ -117,6 +121,8 @@ class IrrTextureRunner:
                 max_leaves=fan.num_leaves if fan is not None else 768,
                 **baker_kw,
             )
+        if kd > 0:
+            self.baker.batches_per_dispatch = kd
         self.baker.fan_block = fan_block
         self.baker.exit_rows = exit_rows
         self.baker.two_pass_cut = two_pass_cut
