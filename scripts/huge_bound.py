@@ -48,6 +48,28 @@ def visits(dist, count, thr):
     return out
 
 
+def visits_device(clusters, op, dp, tf, occ, thr_np):
+    """Per-group visit counts computed ON DEVICE: only [RB] ints cross the
+    tunnel instead of the [RB, C] distance table (192 MB per call on the
+    huge scene — transfer-bound through the relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from texir_code_tpu.ops.pallas_culled import cull_blocks
+
+    @jax.jit
+    def one(thr):
+        _, count, dist = cull_blocks(clusters, op, op, dp, tf, occluders=occ)
+        d = dist.reshape(-1, dist.shape[-1])
+        c = count.reshape(-1)
+        idx = jnp.arange(d.shape[-1])[None, :]
+        v = jnp.sum((d < thr[:, None]) & (idx < c[:, None]), axis=1)
+        return v, c
+
+    v, c = one(jnp.asarray(thr_np))
+    return np.asarray(v).astype(np.int64), np.asarray(c)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -93,7 +115,7 @@ def main():
     occ = extract_occluders(syn.mesh)
     geom = bake_geometry_textures(syn.mesh, 128)
     print(f"clusters: {clusters.num_clusters}, occluders: "
-          f"{len(occ.normal) if occ is not None else 0}", flush=True)
+          f"{len(occ.axis) if occ is not None else 0}", flush=True)
 
     vr, vc = np.nonzero(geom.valid)
     order = morton_order(geom.position[vr, vc])
@@ -130,16 +152,14 @@ def main():
     )
 
     # baseline: er-group lists + group max-t exit (the lockstep cost)
-    _, count, dist = cull_blocks(clusters, rows_o, rows_o, rows_d, ER,
-                                 occluders=occ)
-    dist = np.asarray(dist).reshape(-1, clusters.num_clusters)
-    count = np.asarray(count).reshape(-1)
     tg = t_true.reshape(-1, ER * R)
     fin = np.isfinite(tg)
     maxt = np.where(
         fin.any(1), np.nanmax(np.where(fin, tg, np.nan), axis=1), np.inf
     )
-    v_base = visits(dist, count, np.minimum(maxt, tcap))
+    v_base, count = visits_device(
+        clusters, rows_o, rows_d, ER, occ, np.minimum(maxt, tcap)
+    )
     print(f"baseline (er={ER}, occ): visits mean={v_base.mean():.0f} "
           f"p90={np.percentile(v_base, 90):.0f} cand mean={count.mean():.0f}",
           flush=True)
@@ -158,16 +178,16 @@ def main():
             sl = slice(i0, min(i0 + args.row_chunk, T))
             op = tuple(a[sl] for a in rows_o)
             dp = tuple(a[sl] for a in rows_d)
-            _, c1, d1 = cull_blocks(clusters, op, op, dp, tf, occluders=occ)
-            d1 = np.asarray(d1).reshape(-1, clusters.num_clusters)
-            c1 = np.asarray(c1).reshape(-1)
             tg1 = t_true[sl].reshape(-1, tf * R)
             fin1 = np.isfinite(tg1)
             mt = np.where(
                 fin1.any(1),
                 np.nanmax(np.where(fin1, tg1, np.nan), axis=1), np.inf,
             )
-            v_parts.append(visits(d1, c1, np.minimum(mt, tcap)))
+            v1, c1 = visits_device(
+                clusters, op, dp, tf, occ, np.minimum(mt, tcap)
+            )
+            v_parts.append(v1)
             c_parts.append(c1)
         v_tf = np.concatenate(v_parts)
         c_tf = np.concatenate(c_parts)

@@ -21,11 +21,11 @@ timeout 7200 python -u -m texir_code_tpu.cli train \
 echo "irrf exit: $? $(date)" >> results/chain2.status
 timeout 5400 python -u -m texir_code_tpu.cli train \
   --conf configs/irrf_synthetic.conf --expname fieldq --trainstage PIL \
-  --max_epochs 1000 > results/pil_fieldq.log 2>&1
+  --max_epochs 0400 > results/pil_fieldq.log 2>&1
 echo "pil exit: $? $(date)" >> results/chain2.status
 timeout 5400 python -u -m texir_code_tpu.cli train \
   --conf configs/irrf_synthetic.conf --expname fieldq --trainstage IRF \
-  --max_epochs 600 > results/irf_fieldq.log 2>&1
+  --max_epochs 300 > results/irf_fieldq.log 2>&1
 echo "irf exit: $? $(date)" >> results/chain2.status
 timeout 5400 python -u scripts/eval_reference_spp.py \
   > results/refspp_r5.log 2>&1
