@@ -64,7 +64,7 @@ EXIT_ROWS = 16
 def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
                 fan_block=FAN_BLOCK, lb=CLUSTER_ROWS, exit_rows=EXIT_ROWS,
                 two_pass_cut=None, two_pass_cut2=None, two_pass_cap=0.125,
-                two_pass_cap2=0.25, occluders=False):
+                two_pass_cap2=0.25, occluders=False, stream_cands=None):
     """Mrays/s of the culled bake on `syn`, via the sharded baker."""
     import jax
     import jax.numpy as jnp
@@ -89,6 +89,7 @@ def _bake_scene(syn, n_meas=MEASURE_BATCHES, batch=TEXEL_BATCH,
     )
     baker.fan_block = fan_block
     baker.exit_rows = exit_rows
+    baker.stream_cands = stream_cands
     baker.two_pass_cut = two_pass_cut
     baker.two_pass_cut2 = two_pass_cut2
     baker.two_pass_cap = two_pass_cap

@@ -16,6 +16,7 @@ from texir_code_tpu.ops.fan_raycast import FanScene, cast_ray_fans
 from texir_code_tpu.ops.pallas_culled import (
     ClusterScene,
     cast_fans_culled,
+    cast_fans_culled_twopass,
     cast_ray_fans_wedged,
     cull_blocks,
     sort_dirs_octant,
@@ -476,3 +477,37 @@ def test_threepass_matches_single(scene):
     np.testing.assert_array_equal(base.t, got.t)
     np.testing.assert_array_equal(base.u, got.u)
     np.testing.assert_array_equal(base.v, got.v)
+
+
+def test_streamed_candidate_windows_bit_equal(scene):
+    """HBM-streamed candidate windows (stream_cands=W) must be bit-equal to
+    the SMEM-table kernel for every window size — including tiny windows
+    that force many window crossings and the early-exit window drain, and
+    windows larger than any candidate list (no crossing at all)."""
+    syn, bvh, fan, clusters = scene
+    origins, normals, dirs = _fan_batch(syn, t=8, s=256, seed=29)
+    ds = sort_dirs_octant(dirs)
+    rows_d = tuple(wedge_rows(a, 2) for a in ds)
+    rows_o = tuple(tile_rows(a, 2) for a in origins)
+    base = cast_fans_culled(
+        clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+        fan_block=8, exit_rows=4, stream_cands=0,
+    )
+    for w in (2, 4, 64, 4096):
+        got = cast_fans_culled(
+            clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+            fan_block=8, exit_rows=4, stream_cands=w,
+        )
+        np.testing.assert_array_equal(base.t, got.t)
+        np.testing.assert_array_equal(base.u, got.u)
+        np.testing.assert_array_equal(base.v, got.v)
+    # seeded/two-pass path through the stream as well
+    tp0 = cast_fans_culled_twopass(
+        clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+        fan_block=8, exit_rows=4, cut_frac=0.3, stream_cands=0,
+    )
+    tp1 = cast_fans_culled_twopass(
+        clusters, rows_o, rows_d, interpret=True, emit_uv=True,
+        fan_block=8, exit_rows=4, cut_frac=0.3, stream_cands=4,
+    )
+    np.testing.assert_array_equal(tp0.t, tp1.t)

@@ -262,6 +262,10 @@ class IrradianceTextureBaker:
         # optional second level (3-pass ladder): the straggler re-trace
         # itself truncates at two_pass_cut2 and re-compacts its own tail
         self.two_pass_cut2: Optional[float] = None
+        # candidate-window streaming (ops.pallas_culled cast_fans_culled
+        # stream_cands): None = auto (streams when the per-block SMEM
+        # tables would blow SMEM — the fine-exit-group regime)
+        self.stream_cands: Optional[int] = None
         self.two_pass_cap2 = 0.25
         # occlusion proxy (ops.pallas_culled.ClusterScene.proxy_from_fan):
         # the scene's k largest triangles, traced first to seed per-ray t
@@ -357,6 +361,7 @@ class IrradianceTextureBaker:
                 cut_frac2=self.two_pass_cut2,
                 cap_frac2=self.two_pass_cap2,
                 occluders=self.occluders,
+                stream_cands=self.stream_cands,
             )
         else:
             hit = cast_fans_culled(
@@ -367,6 +372,7 @@ class IrradianceTextureBaker:
                 exit_rows=self.exit_rows,
                 proxy=self.proxy_scene,
                 occluders=self.occluders,
+                stream_cands=self.stream_cands,
             )
         rows_n = tuple(tile_rows(a, g) for a in nrm)
         if emit_uv:

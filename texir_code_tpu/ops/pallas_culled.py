@@ -371,6 +371,7 @@ def _culled_kernel(
     lb: int, t_min: float, emit_uv: bool, per_ray_origins: bool,
     fast_recip: bool = True, debug_emit_visits: bool = False,
     exit_rows: int = 0, emit_prim: bool = True, seeded: bool = False,
+    stream_window: int = 0,
 ):
     """Per-group candidate walks with occlusion early exit.
 
@@ -404,6 +405,16 @@ def _culled_kernel(
     proxy hit instead of inf, so the walk stops at the walls of the rays'
     own room.  Exact — seed hits are real scene hits, and the strict
     `t < t_best` keeps them unless a genuinely closer triangle appears.
+
+    stream_window=W>0 switches the candidate tables from per-block SMEM
+    inputs to HBM (pl.ANY), DMA'd into double-buffered W-entry SMEM
+    windows as the walk consumes them.  The per-group SMEM lists cap the
+    group count: at er=4 on a 23.5k-cluster scene the 2 x ng x C tables
+    exceed SMEM and the kernel fails to COMPILE (PERF.md round 4); the
+    stream removes that wall — SMEM holds 2 x 2 x W entries regardless of
+    C, at most one window DMA is in flight (started a full window ahead),
+    and early exit skips the un-walked windows' DMAs entirely.  Bit-exact:
+    the streamed values are the same tables.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -414,19 +425,44 @@ def _culled_kernel(
         p0_ref = rest.pop(0) if emit_prim else None
         u0_ref = rest.pop(0)
         v0_ref = rest.pop(0)
-    rows_hbm, prims_hbm, t_ref, prim_ref, u_ref, v_ref, \
-        rows_s, prims_s, sem = rest
+    if stream_window:
+        (rows_hbm, prims_hbm, t_ref, prim_ref, u_ref, v_ref,
+         rows_s, prims_s, sem, cand_s, dist_s, sem_w) = rest
+        b_idx = pl.program_id(0)
+    else:
+        rows_hbm, prims_hbm, t_ref, prim_ref, u_ref, v_ref, \
+            rows_s, prims_s, sem = rest
 
     c_max = cand_ref.shape[-1]
     t_cap = tcap_ref[0, 0, 0]
+    W = stream_window
 
     tf, r = dx_ref.shape
     er = exit_rows if exit_rows else tf
     ng = tf // er
     slices = [slice(g * er, (g + 1) * er) for g in range(ng)]
 
+    def get_cand(g, j):
+        if stream_window:
+            return cand_s[jax.lax.rem(j // W, 2), jax.lax.rem(j, W)]
+        return cand_ref[0, g, j]
+
+    def win_dmas(slot, g, w):
+        """One candidate window (ids + sorted distance bounds) HBM→SMEM."""
+        start = w * W
+        return [
+            pltpu.make_async_copy(
+                cand_ref.at[b_idx, g, pl.ds(start, W)],
+                cand_s.at[slot], sem_w.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                dist_ref.at[b_idx, g, pl.ds(start, W)],
+                dist_s.at[slot], sem_w.at[slot, 1],
+            ),
+        ]
+
     def dmas(slot, g, j):
-        cid = cand_ref[0, g, j]
+        cid = get_cand(g, j)
         cps = [
             pltpu.make_async_copy(
                 rows_hbm.at[cid], rows_s.at[slot], sem.at[slot, 0]
@@ -545,6 +581,20 @@ def _culled_kernel(
     for g in range(ng):
         count_g = count_ref[0, g, 0]
 
+        if stream_window:
+            # window 0 must land before the first row prefetch reads cand
+            @pl.when(count_g > 0)
+            def _(g=g):
+                for cp in win_dmas(0, g, 0):
+                    cp.start()
+                for cp in win_dmas(0, g, 0):
+                    cp.wait()
+
+            @pl.when(count_g > W)
+            def _(g=g):
+                for cp in win_dmas(1, g, 1):
+                    cp.start()
+
         @pl.when(count_g > 0)
         def _(g=g):
             for cp in dmas(0, g, 0):
@@ -552,21 +602,41 @@ def _culled_kernel(
 
         def cond(carry, g=g, count_g=count_g):
             j, thr = carry
-            nxt = dist_ref[0, g, jnp.minimum(j, c_max - 1)]
+            if stream_window:
+                # window j//W was waited on entry (preamble / crossing);
+                # j == count_g reads garbage safely behind the False &
+                nxt = dist_s[jax.lax.rem(j // W, 2), jax.lax.rem(j, W)]
+            else:
+                nxt = dist_ref[0, g, jnp.minimum(j, c_max - 1)]
             return (j < count_g) & (nxt < jnp.minimum(thr, t_cap))
 
         def body(carry, g=g, count_g=count_g):
             j, thr = carry
+            jn = j + 1
 
-            @pl.when(j + 1 < count_g)
+            if stream_window:
+                # crossing into window w: wait it (started one window
+                # ago), then launch w+1 into the slot window w-1 vacated
+                @pl.when((jn < count_g) & (jax.lax.rem(jn, W) == 0))
+                def _(g=g, jn=jn, count_g=count_g):
+                    w = jn // W
+                    for cp in win_dmas(jax.lax.rem(w, 2), g, w):
+                        cp.wait()
+
+                    @pl.when((w + 1) * W < count_g)
+                    def _():
+                        for cp in win_dmas(jax.lax.rem(w + 1, 2), g, w + 1):
+                            cp.start()
+
+            @pl.when(jn < count_g)
             def _():
-                for cp in dmas(jax.lax.rem(j + 1, 2), g, j + 1):
+                for cp in dmas(jax.lax.rem(jn, 2), g, jn):
                     cp.start()
 
             for cp in dmas(jax.lax.rem(j, 2), g, j):
                 cp.wait()
             thr = process_group(g, jax.lax.rem(j, 2))
-            return j + 1, thr
+            return jn, thr
 
         j_end, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.float32(jnp.inf))
@@ -578,6 +648,17 @@ def _culled_kernel(
         def _(g=g, count_g=count_g, j_end=j_end):
             for cp in dmas(jax.lax.rem(j_end, 2), g, j_end):
                 cp.wait()
+
+        if stream_window:
+            # drain the in-flight window: W(w_end+1) was started iff its
+            # first entry is within count (at the crossing into w_end, or
+            # the preamble for w_end=0) and is only waited on crossing
+            w_end = j_end // W
+
+            @pl.when((count_g > 0) & ((w_end + 1) * W < count_g))
+            def _(g=g, w_end=w_end):
+                for cp in win_dmas(jax.lax.rem(w_end + 1, 2), g, w_end + 1):
+                    cp.wait()
 
         if debug_emit_visits:
             # debug telemetry: u = clusters visited, v = candidate count
@@ -591,7 +672,7 @@ def _culled_kernel(
     static_argnames=(
         "fan_block", "t_min", "interpret", "emit_uv", "per_ray",
         "debug_no_cull", "debug_no_exit", "fast_recip", "debug_emit_visits",
-        "exit_rows", "emit_prim", "t_cap_frac",
+        "exit_rows", "emit_prim", "t_cap_frac", "stream_cands",
     ),
 )
 def cast_fans_culled(
@@ -614,6 +695,7 @@ def cast_fans_culled(
     seed: Optional[RayHit] = None,
     proxy: Optional[ClusterScene] = None,
     occluders=None,
+    stream_cands: Optional[int] = None,
 ) -> RayHit:
     """Closest-hit trace of wedge rows with culled, early-exiting clusters.
 
@@ -640,6 +722,12 @@ def cast_fans_culled(
         occluders: optional geometry.occluders.OccluderSet of proven
             rectangular occluders — removes provably-occluded clusters from
             the candidate lists at cull time (exact; see cull_blocks).
+        stream_cands: candidate-window streaming (see _culled_kernel).
+            None (default) auto-enables a 1024-entry window when the
+            per-block SMEM candidate tables would exceed ~512 KB — the
+            regime where the SMEM-table kernel fails to compile (fine exit
+            groups x many clusters).  0 forces the SMEM tables; W > 0
+            forces a W-entry window.  Bit-exact either way.
     Returns:
         RayHit of shape [T', R] — exact closest hits (when t_cap_frac
         covers the scene).
@@ -754,11 +842,47 @@ def cast_fans_culled(
                 dist < bound[:, :, None], axis=-1, keepdims=True
             ).astype(jnp.int32)
 
+    # candidate-window streaming: the SMEM tables are 2 x ng x C x 4 B per
+    # block; past ~512 KB (fine exit groups x scan-scale cluster counts)
+    # the SMEM-table kernel fails to COMPILE (PERF.md round 4's er=4 wall).
+    # Auto-switch to HBM tables + W-entry double-buffered SMEM windows.
+    if stream_cands is None:
+        stream_w = 1024 if 2 * ng * c * 4 > 512 * 1024 else 0
+    else:
+        stream_w = int(stream_cands)
+    if stream_w:
+        # at least TWO windows: the preamble constructs window-1's copy
+        # descriptor unconditionally (execution is pl.when-guarded, but the
+        # static slice start must be in bounds)
+        c_pad = max(2, (c + stream_w - 1) // stream_w) * stream_w
+        if c_pad != c:
+            cand = jnp.concatenate(
+                [cand, jnp.zeros((rb, ng, c_pad - c), jnp.int32)], axis=-1
+            )
+            dist = jnp.concatenate(
+                [dist, jnp.full((rb, ng, c_pad - c), jnp.inf, jnp.float32)],
+                axis=-1,
+            )
+        cand_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dist_spec = cand_spec
+        stream_scratch = [
+            pltpu.SMEM((2, stream_w), jnp.int32),
+            pltpu.SMEM((2, stream_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        cand_spec = pl.BlockSpec(
+            (1, ng, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+        )
+        dist_spec = cand_spec
+        stream_scratch = []
+
     kernel = functools.partial(
         _culled_kernel, lb=lb, t_min=t_min, emit_uv=emit_uv,
         per_ray_origins=per_ray, fast_recip=fast_recip,
         debug_emit_visits=debug_emit_visits, exit_rows=er,
         emit_prim=emit_prim, seeded=seed is not None,
+        stream_window=stream_w,
     )
     out_shape = [
         jax.ShapeDtypeStruct((tp + t_pad, r), jnp.float32),
@@ -773,8 +897,8 @@ def cast_fans_culled(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ng, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ng, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ng, c), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            cand_spec,
+            dist_spec,
             pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tf, o_width), lambda b: (b, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
@@ -790,7 +914,7 @@ def cast_fans_culled(
             pltpu.SMEM((2, lb, _ROW_PAD), jnp.float32),
             pltpu.SMEM((2, _PRIM_ROWS, _ROW_PAD), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ] + stream_scratch,
         interpret=interpret,
     )(count, cand, dist, tcap, o_pack, d[0], d[1], d[2], *seed_in,
       scene.rows3, scene.prims3)
@@ -896,6 +1020,7 @@ def cull_blocks(
     static_argnames=(
         "t_min", "fan_block", "exit_rows", "emit_uv", "interpret",
         "cut_frac", "cap_frac", "per_ray", "cut_frac2", "cap_frac2",
+        "stream_cands",
     ),
 )
 def cast_fans_culled_twopass(
@@ -914,6 +1039,7 @@ def cast_fans_culled_twopass(
     cut_frac2: Optional[float] = None,
     cap_frac2: float = 0.25,
     occluders=None,
+    stream_cands: Optional[int] = None,
 ) -> RayHit:
     """Exact closest-hit trace in two passes — per-RAY early termination.
 
@@ -975,7 +1101,7 @@ def cast_fans_culled_twopass(
     hit1 = cast_fans_culled(
         scene, o_rows, d, t_min=t_min, fan_block=tf, exit_rows=exit_rows,
         emit_uv=emit_uv, interpret=interpret, t_cap_frac=cut_frac,
-        cull=cull, per_ray=per_ray, proxy=proxy,
+        cull=cull, per_ray=per_ray, proxy=proxy, stream_cands=stream_cands,
     )
 
     diam = scene.diameter.astype(jnp.float32)
@@ -1016,12 +1142,14 @@ def cast_fans_culled_twopass(
                 exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
                 per_ray=True, proxy=proxy, cut_frac=cut_frac2,
                 cap_frac=cap_frac2, occluders=occluders,
+                stream_cands=stream_cands,
             )
         else:
             hit2 = cast_fans_culled(
                 scene, o2, d2, t_min=t_min, fan_block=tf,
                 exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
                 per_ray=True, proxy=proxy, occluders=occluders,
+                stream_cands=stream_cands,
             )
         # re-traced FINAL rays that padded the capacity produce identical
         # results, so all cap_rays slots scatter back unconditionally
@@ -1040,6 +1168,7 @@ def cast_fans_culled_twopass(
             scene, o_rows, d, t_min=t_min, fan_block=tf,
             exit_rows=exit_rows, emit_uv=emit_uv, interpret=interpret,
             per_ray=per_ray, proxy=proxy, occluders=occluders,
+            stream_cands=stream_cands,
         )
         return h.t, h.prim, h.u, h.v
 
